@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the TPU-native analogue of a fake distributed backend: every sharding /
+multi-chip test runs against 8 virtual CPU devices, so the same `jax.sharding`
+programs that run on a TPU slice are validated host-side (SURVEY.md §4).
+"""
+import os
+
+# Force CPU even when the environment pins a TPU platform (JAX_PLATFORMS=axon):
+# unit tests must be hermetic and fast, and sharding tests need 8 devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# fp32 everywhere in tests: parity targets are metric-level (mm)
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

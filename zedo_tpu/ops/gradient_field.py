@@ -1,0 +1,163 @@
+"""Ray-projection gradient field: the geometric half of the OIL loop.
+
+TPU-native rebuild of `gradient_field_gen` / `perpendicular_distance`
+(lib/algorithms/advanced/simple_zeroshot_opt.py:33-125). Per OIL step, for
+every pose in the batch:
+
+  1. back-project the 2D keypoints through K^-1 to z=1 camera rays;
+  2. (optionally) solve the confidence-weighted linear least-squares system
+     for the global translation T that best explains the 2D observations;
+  3. move each 3D joint toward the foot of its perpendicular onto its ray.
+
+Design departures from the reference, all math-preserving:
+  * The reference materializes the [B, 2j, 3] stacked system and calls
+    `torch.inverse` (simple_zeroshot_opt.py:74-92). Here the 3x3 normal
+    equations are assembled in closed form with weighted reductions over the
+    joint axis and solved by adjugate (ops/linalg.py) — pure VPU math that XLA
+    fuses straight into the surrounding scan; no batched-LAPACK kernel, no
+    [B, 2j, 3] intermediate in HBM.
+  * Confidence clamping is functional (`jnp.clip`) instead of in-place.
+  * Noise injection takes an explicit PRNG key (JAX threading discipline).
+
+Weighting note for exactness: the reference scales BOTH the rows of A and of b
+by conf^2, so the normal equations carry conf^4 on each side:
+A^T A = sum conf^4 a a^T (per joint row pair), A^T b = sum conf^4 a b. We
+reproduce that verbatim (including its quirk that this is least squares with
+weights conf^2 applied twice), since published metrics depend on it.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from zedo_tpu.ops.camera import backproject_rays
+from zedo_tpu.ops.linalg import solve3x3
+
+NOISE_STD = 0.0001  # reference `std` (simple_zeroshot_opt.py:47)
+
+
+def perpendicular_distance(point: jax.Array, vector: jax.Array) -> jax.Array:
+    """Vector from `point` to its projection onto unit `vector` [..., 3].
+
+    Matches simple_zeroshot_opt.py:33-36: projection - point.
+    """
+    projection = jnp.sum(point * vector, axis=-1, keepdims=True) * vector
+    return projection - point
+
+
+def clamp_confidence(conf: jax.Array) -> jax.Array:
+    """Clamp 2D-keypoint confidences to [1e-4, 1] (simple_zeroshot_opt.py:65-66)."""
+    return jnp.clip(conf, 1e-4, 1.0)
+
+
+def solve_translation(
+    rays: jax.Array, key3d: jax.Array, conf: Optional[jax.Array]
+) -> jax.Array:
+    """Closed-form global translation from root-relative 3D pose + camera rays.
+
+    rays: [..., j, 3] z-normalized (z == 1) rays; key3d: [..., j, 3];
+    conf: [..., j] already clamped, or None. Returns T [..., 1, 3].
+
+    Solves the reference's stacked system (simple_zeroshot_opt.py:74-93) via
+    its 3x3 normal equations. Per joint, with r = (rx, ry):
+      row_x: (-1,  0, rx) . T = X - Z*rx
+      row_y: ( 0, -1, ry) . T = Y - Z*ry
+    both rows and rhs scaled by conf^2 -> conf^4 in the normal equations.
+    The sign of T is flipped where its z is negative (camera must look at
+    the person), matching `T[T[:, :, 2] < 0] *= -1`.
+    """
+    x, y, z = key3d[..., 0], key3d[..., 1], key3d[..., 2]
+    rx, ry = rays[..., 0], rays[..., 1]
+    bx = x - z * rx
+    by = y - z * ry
+
+    if conf is not None:
+        w = (conf * conf) ** 2  # conf^4; see module docstring
+    else:
+        w = jnp.ones_like(rx)
+
+    sw = jnp.sum(w, axis=-1)
+    swrx = jnp.sum(w * rx, axis=-1)
+    swry = jnp.sum(w * ry, axis=-1)
+    swr2 = jnp.sum(w * (rx * rx + ry * ry), axis=-1)
+    zeros = jnp.zeros_like(sw)
+
+    ata = jnp.stack(
+        [
+            jnp.stack([sw, zeros, -swrx], axis=-1),
+            jnp.stack([zeros, sw, -swry], axis=-1),
+            jnp.stack([-swrx, -swry, swr2], axis=-1),
+        ],
+        axis=-2,
+    )  # [..., 3, 3]
+    atb = jnp.stack(
+        [
+            -jnp.sum(w * bx, axis=-1),
+            -jnp.sum(w * by, axis=-1),
+            jnp.sum(w * (rx * bx + ry * by), axis=-1),
+        ],
+        axis=-1,
+    )  # [..., 3]
+
+    t = solve3x3(ata, atb)  # [..., 3]
+    t = jnp.where(t[..., 2:] < 0, -t, t)
+    return t[..., None, :]
+
+
+def gradient_field(
+    key2d: jax.Array,
+    key3d: jax.Array,
+    k: jax.Array,
+    t: Optional[jax.Array] = None,
+    conf: Optional[jax.Array] = None,
+    noise_type: Optional[str] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """One OIL geometric update: per-joint gradient toward the camera rays.
+
+    key2d: [..., j, 2] pixel keypoints; key3d: [..., j, 3] current 3D pose
+    (root-relative); k: [..., 3, 3] intrinsics; t: fixed translation
+    [..., 1, 3] or None to re-solve it; conf: [..., j] confidences or None.
+
+    Returns (gradient [..., j, 3], T [..., 1, 3]). The reference's `returnT`
+    flag is dropped — callers take what they need; under jit unused outputs
+    are dead-code-eliminated for free.
+
+    Reference: simple_zeroshot_opt.py:46-125.
+    """
+    rays = backproject_rays(key2d, k)  # z-normalized
+    conf_c = clamp_confidence(conf) if conf is not None else None
+
+    if t is None:
+        t = solve_translation(rays, key3d, conf_c)
+
+    rays_unit = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+    gradient = perpendicular_distance(key3d + t, rays_unit)
+
+    if noise_type == "gaussian":
+        # reference: gradient + std * randn * t  (t = translation broadcast;
+        # simple_zeroshot_opt.py:112-114)
+        noise = jax.random.normal(rng, gradient.shape, dtype=gradient.dtype)
+        gradient = gradient + NOISE_STD * noise * t
+    elif noise_type == "uniform":
+        # reference labels this 'uniform' but draws randn - 0.5
+        # (simple_zeroshot_opt.py:115-118); behavior preserved.
+        noise = jax.random.normal(rng, gradient.shape, dtype=gradient.dtype) - 0.5
+        gradient = gradient + NOISE_STD * noise
+    elif noise_type is not None:
+        raise ValueError(f"unknown noise_type {noise_type!r}")
+
+    return gradient, t
+
+
+def reprojection_residual(key2d: jax.Array, key3d: jax.Array, k: jax.Array) -> jax.Array:
+    """Max ray-to-joint distance, the reference's `error_compute`
+    (simple_zeroshot_opt.py:38-44). Note it compares un-normalized K^-1 rays
+    against the 3D joints directly; kept verbatim for parity."""
+    kinv_rays = backproject_rays(key2d, k) * 1.0  # z=1 rays
+    # the reference does NOT z-normalize here; K^-1 @ [u, v, 1] already has
+    # z == 1 for standard intrinsics, so backproject_rays matches.
+    b = kinv_rays - key3d
+    return jnp.max(jnp.linalg.norm(b, axis=-1))
