@@ -1,0 +1,151 @@
+"""Probability-flow ODE sampler with an on-device adaptive RK45 integrator.
+
+Replaces the reference's scipy `solve_ivp` black-box sampler
+(lib/algorithms/advanced/sampling.py:532-603), which shuttles the full state
+host<->device on every function evaluation. Here the Dormand-Prince 5(4) pair
+runs inside one `lax.while_loop`, so sampling is a single XLA program.
+
+Error control mirrors scipy's RK45: per-component tolerance
+atol + rtol * max(|y|, |y_new|), RMS error norm, step factor
+0.9 * err^(-1/5) clipped to [0.2, 10].
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from zedo_tpu.diffusion.sde import SDE, _bcast
+
+# Dormand-Prince 5(4) tableau
+_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_B4 = jnp.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+class _RKState(NamedTuple):
+    t: jax.Array
+    y: jax.Array
+    h: jax.Array
+    nfe: jax.Array
+    done: jax.Array
+
+
+def rk45(
+    f,
+    t0: float,
+    t1: float,
+    y0: jax.Array,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    max_steps: int = 20000,
+):
+    """Integrate dy/dt = f(t, y) from t0 to t1 (t1 < t0 supported).
+
+    Returns (y1, nfe). `f` maps (scalar t, y) -> dy/dt with y any pytree-free
+    array shape.
+    """
+    direction = 1.0 if t1 >= t0 else -1.0
+    h0 = (t1 - t0) / 100.0
+
+    def err_norm(err, y, y_new):
+        scale = atol + rtol * jnp.maximum(jnp.abs(y), jnp.abs(y_new))
+        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+
+    def step(state: _RKState) -> _RKState:
+        t, y, h, nfe, _ = state
+        # clamp the final step to land exactly on t1
+        h = jnp.where(direction * (t + h - t1) > 0, t1 - t, h)
+        ks = []
+        for i in range(7):
+            ti = t + _C[i] * h
+            yi = y
+            for j, aij in enumerate(_A[i]):
+                yi = yi + h * aij * ks[j]
+            ks.append(f(ti, yi))
+        ks = jnp.stack(ks)
+        y5 = y + h * jnp.tensordot(_B5, ks, axes=1)
+        y4 = y + h * jnp.tensordot(_B4, ks, axes=1)
+        err = err_norm(y5 - y4, y, y5)
+
+        accept = err <= 1.0
+        factor = jnp.clip(0.9 * jnp.where(err > 0, err, 1e-10) ** (-0.2), 0.2, 10.0)
+        h_next = h * factor
+        t_new = jnp.where(accept, t + h, t)
+        y_new = jnp.where(accept, y5, y)
+        done = direction * (t_new - t1) >= 0
+        return _RKState(t=t_new, y=y_new, h=h_next, nfe=nfe + 7, done=done)
+
+    def cond(state: _RKState):
+        return jnp.logical_and(~state.done, state.nfe < max_steps * 7)
+
+    init = _RKState(
+        t=jnp.asarray(t0, y0.dtype),
+        y=y0,
+        h=jnp.asarray(h0, y0.dtype),
+        nfe=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False),
+    )
+    out = jax.lax.while_loop(cond, step, init)
+    return out.y, out.nfe
+
+
+@dataclasses.dataclass(frozen=True)
+class ODESampler:
+    """Probability-flow ODE sampler (sampling.py:532-603 equivalent)."""
+
+    sde: SDE
+    shape: tuple
+    denoise: bool = False
+    rtol: float = 1e-5
+    atol: float = 1e-5
+    eps: float = 1e-3
+    # 1.0 reproduces the reference dynamics (sde_lib.py:97 lacks the textbook
+    # 0.5 on the PF score term); 0.5 is the exact probability-flow ODE.
+    score_coeff: float = 1.0
+
+    def drift_fn(self, score_fn, x, t, condition=None, mask=None):
+        """Reverse-ODE drift (sampling.py:561-565)."""
+        rsde = dataclasses.replace(
+            self.sde.reverse(score_fn, probability_flow=True),
+            score_coeff=self.score_coeff,
+        )
+        return rsde.sde(x, t, condition, mask)[0]
+
+    def sample(self, score_fn, rng, z: Optional[jax.Array] = None, condition=None, mask=None):
+        """Sample by integrating the probability-flow ODE from T to eps.
+
+        Returns (x, nfe), matching the reference's ode_sampler contract
+        (sampling.py:567-601)."""
+        if z is None:
+            x = self.sde.prior_sampling(rng, self.shape)
+        else:
+            x = z
+
+        def f(t, y):
+            vec_t = jnp.full((self.shape[0],), t, y.dtype)
+            return self.drift_fn(score_fn, y, vec_t, condition, mask)
+
+        x, nfe = rk45(f, self.sde.T, self.eps, x, rtol=self.rtol, atol=self.atol)
+
+        if self.denoise:
+            # one noiseless reverse-diffusion step at eps (sampling.py:553-559)
+            rsde = self.sde.reverse(score_fn, probability_flow=False)
+            vec_eps = jnp.full((self.shape[0],), self.eps, x.dtype)
+            f_d, _ = rsde.discretize(x, vec_eps, condition, mask)
+            x = x - f_d
+            nfe = nfe + 1
+        return x, nfe

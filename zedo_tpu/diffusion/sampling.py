@@ -1,0 +1,344 @@
+"""Predictor-corrector and ODE samplers for score SDEs.
+
+TPU-native rebuild of lib/algorithms/advanced/sampling.py (active ZeDO
+sampler) and lib/sampling.py (legacy GFPose-style task sampler — dead code in
+the reference but the documented capability surface for pose estimation /
+completion / denoising / generation). Design changes:
+
+  * Predictors/correctors are pure functions in a registry; no classes, no
+    device round-trips. The reference converts to numpy and back on the host
+    every step (sampling.py:524-527 / opt_main.py:220) — 1000x per hypothesis;
+    here state never leaves the device.
+  * `zedo_pc_step` is the reference's single-step pc_sampler rewrite
+    (sampling.py:450-527): one corrector + one predictor update at an
+    externally-supplied time, returning x_mean (denoise semantics).
+  * `pc_sample_loop` is the full N-step sampler (the role of the missing
+    `sampling_train` module, train_pose_mini.py:53, and of lib/sampling.py)
+    as one lax.scan — with the task-conditional imputation modes of the
+    legacy sampler (est / comp2d / comp3d / den / gen, lib/sampling.py:
+    500-553) and its optional warm-start (lib/sampling.py:564-567).
+  * RNG is explicit jax PRNG keys.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zedo_tpu.diffusion.sde import SDE, ReverseSDE, SubVPSDE, VESDE, VPSDE, _bcast
+
+_PREDICTORS: dict[str, Callable] = {}
+_CORRECTORS: dict[str, Callable] = {}
+
+
+def register_predictor(fn=None, *, name=None):
+    """Register a predictor update function (sampling.py:34-50 equivalent)."""
+
+    def _register(fn):
+        local_name = name or fn.__name__
+        if local_name in _PREDICTORS:
+            raise ValueError(f"Already registered predictor with name: {local_name}")
+        _PREDICTORS[local_name] = fn
+        return fn
+
+    return _register(fn) if fn is not None else _register
+
+
+def register_corrector(fn=None, *, name=None):
+    def _register(fn):
+        local_name = name or fn.__name__
+        if local_name in _CORRECTORS:
+            raise ValueError(f"Already registered corrector with name: {local_name}")
+        _CORRECTORS[local_name] = fn
+        return fn
+
+    return _register(fn) if fn is not None else _register
+
+
+def get_predictor(name: str) -> Callable:
+    return _PREDICTORS[name]
+
+
+def get_corrector(name: str) -> Callable:
+    return _CORRECTORS[name]
+
+
+# --------------------------------------------------------------- predictors
+# Signature: (rsde, rng, x, t, condition, mask) -> (x, x_mean)
+
+
+@register_predictor(name="euler_maruyama")
+def euler_maruyama_predictor(rsde: ReverseSDE, rng, x, t, condition=None, mask=None):
+    """sampling.py:180-191. With probability_flow=True the diffusion term is
+    zero (sde.py ReverseSDE), so the step is deterministic."""
+    dt = -1.0 / rsde.n
+    z = jax.random.normal(rng, x.shape, x.dtype)
+    drift, diffusion = rsde.sde(x, t, condition, mask)
+    x_mean = x + drift * dt
+    x = x_mean + _bcast(diffusion, x) * math.sqrt(-dt) * z
+    return x, x_mean
+
+
+@register_predictor(name="reverse_diffusion")
+def reverse_diffusion_predictor(rsde: ReverseSDE, rng, x, t, condition=None, mask=None):
+    """sampling.py:195-205."""
+    f, g = rsde.discretize(x, t, condition, mask)
+    z = jax.random.normal(rng, x.shape, x.dtype)
+    x_mean = x - f
+    x = x_mean + _bcast(g, x) * z
+    return x, x_mean
+
+
+@register_predictor(name="ancestral_sampling")
+def ancestral_sampling_predictor(rsde: ReverseSDE, rng, x, t, condition=None, mask=None):
+    """sampling.py:208-244; VE/VP only, no probability flow."""
+    sde = rsde.forward
+    assert not rsde.probability_flow, "Probability flow not supported by ancestral sampling"
+    if isinstance(sde, VESDE):
+        timestep = (t * (sde.n - 1) / sde.T).astype(jnp.int32)
+        sigma = sde.discrete_sigmas[timestep]
+        adjacent_sigma = jnp.where(
+            timestep == 0, jnp.zeros_like(t), sde.discrete_sigmas[timestep - 1]
+        )
+        score = rsde.score_fn(x, t, condition, mask)
+        x_mean = x + score * _bcast(sigma**2 - adjacent_sigma**2, x)
+        std = jnp.sqrt(adjacent_sigma**2 * (sigma**2 - adjacent_sigma**2) / sigma**2)
+        noise = jax.random.normal(rng, x.shape, x.dtype)
+        return x_mean + _bcast(std, x) * noise, x_mean
+    if isinstance(sde, VPSDE):
+        timestep = (t * (sde.n - 1) / sde.T).astype(jnp.int32)
+        beta = sde.discrete_betas[timestep]
+        score = rsde.score_fn(x, t, condition, mask)
+        x_mean = (x + _bcast(beta, x) * score) / _bcast(jnp.sqrt(1.0 - beta), x)
+        noise = jax.random.normal(rng, x.shape, x.dtype)
+        return x_mean + _bcast(jnp.sqrt(beta), x) * noise, x_mean
+    raise NotImplementedError(f"SDE class {type(sde).__name__} not supported.")
+
+
+@register_predictor(name="none")
+def none_predictor(rsde, rng, x, t, condition=None, mask=None):
+    return x, x
+
+
+# --------------------------------------------------------------- correctors
+# Signature: (sde, score_fn, rng, x, t, condition, mask, snr, n_steps) -> (x, x_mean)
+
+
+def _corrector_alpha(sde: SDE, t):
+    if isinstance(sde, (VPSDE, SubVPSDE)):
+        timestep = (t * (sde.n - 1) / sde.T).astype(jnp.int32)
+        return sde.alphas[timestep]
+    return jnp.ones_like(t)
+
+
+@register_corrector(name="langevin")
+def langevin_corrector(sde, score_fn, rng, x, t, condition, mask, snr, n_steps):
+    """sampling.py:258-287. n_steps is static; unrolled (it is 1 in configs)."""
+    alpha = _corrector_alpha(sde, t)
+    x_mean = x
+    for i in range(n_steps):
+        step_rng = jax.random.fold_in(rng, i)
+        grad = score_fn(x, t, condition, mask)
+        noise = jax.random.normal(step_rng, x.shape, x.dtype)
+        grad_norm = jnp.mean(jnp.linalg.norm(grad.reshape(grad.shape[0], -1), axis=-1))
+        noise_norm = jnp.mean(jnp.linalg.norm(noise.reshape(noise.shape[0], -1), axis=-1))
+        step_size = (snr * noise_norm / grad_norm) ** 2 * 2 * alpha
+        x_mean = x + _bcast(step_size, x) * grad
+        x = x_mean + _bcast(jnp.sqrt(step_size * 2), x) * noise
+    return x, x_mean
+
+
+@register_corrector(name="ald")
+def annealed_langevin_corrector(sde, score_fn, rng, x, t, condition, mask, snr, n_steps):
+    """sampling.py:290-324 (NCSN annealed Langevin dynamics)."""
+    alpha = _corrector_alpha(sde, t)
+    std = sde.marginal_prob(x, t)[1]
+    x_mean = x
+    for i in range(n_steps):
+        step_rng = jax.random.fold_in(rng, i)
+        grad = score_fn(x, t, condition, mask)
+        noise = jax.random.normal(step_rng, x.shape, x.dtype)
+        step_size = (snr * std) ** 2 * 2 * alpha
+        x_mean = x + _bcast(step_size, x) * grad
+        x = x_mean + noise * _bcast(jnp.sqrt(step_size * 2), x)
+    return x, x_mean
+
+
+@register_corrector(name="none")
+def none_corrector(sde, score_fn, rng, x, t, condition, mask, snr, n_steps):
+    return x, x
+
+
+# ---------------------------------------------------------------- ZeDO step
+@dataclasses.dataclass(frozen=True)
+class PCSampler:
+    """Static sampler configuration (mirrors config.sampling keys)."""
+
+    sde: SDE
+    predictor: str = "euler_maruyama"
+    corrector: str = "none"
+    snr: float = 0.16
+    n_steps: int = 1
+    probability_flow: bool = True
+    continuous: bool = True
+    denoise: bool = True
+    eps: float = 1e-3
+
+    def reverse(self, score_fn) -> ReverseSDE:
+        return self.sde.reverse(score_fn, self.probability_flow)
+
+    def zedo_pc_step(self, score_fn, rng, x, t, condition=None, mask=None):
+        """One corrector + one predictor update at external time t
+        (the ZeDO pc_sampler rewrite, sampling.py:450-527).
+
+        x: [B, j, d]; t: scalar or [B]. Returns (x, x_mean); callers use
+        x_mean when denoise=True, matching `return trajs, x_mean`.
+        The reference zeroes its mask and overwrites the prior sample with
+        denoise_x before stepping (sampling.py:491-493); here x IS denoise_x
+        and mask defaults to None (ignored by the unconditional model).
+        """
+        rsde = self.reverse(score_fn)
+        vec_t = jnp.broadcast_to(jnp.asarray(t, x.dtype), (x.shape[0],))
+        c_rng, p_rng = jax.random.split(rng)
+        corrector_fn = get_corrector(self.corrector)
+        predictor_fn = get_predictor(self.predictor)
+        x, x_mean = corrector_fn(
+            self.sde, score_fn, c_rng, x, vec_t, condition, mask, self.snr, self.n_steps
+        )
+        x, x_mean = predictor_fn(rsde, p_rng, x, vec_t, condition, mask)
+        return x, x_mean
+
+    def sample_loop(
+        self,
+        score_fn,
+        rng,
+        shape,
+        condition=None,
+        mask=None,
+        x_init=None,
+        warm_start_steps: int = 0,
+        return_trajectory: bool = False,
+    ):
+        """Full N-step PC sampling as one lax.scan (role of the reference's
+        missing `sampling_train` + legacy lib/sampling.py loop).
+
+        mask: [*, j, d] imputation mask (1 = known value imputed from
+        `condition` each step, legacy lib/sampling.py:442-452) or None.
+        x_init: start state (defaults to a prior sample; legacy den task
+        passes noisy input, lib/sampling.py:547-550).
+        warm_start_steps: force t=1.0 for the first k steps
+        (lib/sampling.py:564-567 used 50).
+        """
+        prior_rng, scan_rng = jax.random.split(rng)
+        x = self.sde.prior_sampling(prior_rng, shape) if x_init is None else x_init
+        if mask is not None and condition is not None:
+            x = x * (1 - mask) + condition * mask
+
+        timesteps = jnp.linspace(self.sde.T, self.eps, self.sde.n)
+        step_idx = jnp.arange(self.sde.n)
+        rsde = self.reverse(score_fn)
+        corrector_fn = get_corrector(self.corrector)
+        predictor_fn = get_predictor(self.predictor)
+
+        def impute(x, x_mean, vec_t, rng):
+            if mask is None or condition is None:
+                return x, x_mean
+            masked_mean, std = self.sde.marginal_prob(condition, vec_t)
+            noise = jax.random.normal(rng, x.shape, x.dtype)
+            masked = masked_mean + noise * _bcast(std, x)
+            return (
+                x * (1 - mask) + masked * mask,
+                x_mean * (1 - mask) + masked_mean * mask,
+            )
+
+        def body(carry, inputs):
+            x, _ = carry
+            t, i = inputs
+            step_rng = jax.random.fold_in(scan_rng, i)
+            c_rng, p_rng, ic_rng, ip_rng = jax.random.split(step_rng, 4)
+            vec_t = jnp.full((shape[0],), t, x.dtype)
+            if warm_start_steps > 0:
+                vec_t = jnp.where(i < warm_start_steps, jnp.ones_like(vec_t), vec_t)
+            x, x_mean = corrector_fn(
+                self.sde, score_fn, c_rng, x, vec_t, condition, mask,
+                self.snr, self.n_steps,
+            )
+            x, x_mean = impute(x, x_mean, vec_t, ic_rng)
+            x, x_mean = predictor_fn(rsde, p_rng, x, vec_t, condition, mask)
+            x, x_mean = impute(x, x_mean, vec_t, ip_rng)
+            return (x, x_mean), (x if return_trajectory else None)
+
+        (x, x_mean), trajs = jax.lax.scan(body, (x, x), (timesteps, step_idx))
+        x_final = x_mean if self.denoise else x
+        if return_trajectory:
+            return trajs, x_final
+        return x_final
+
+
+# ----------------------------------------------------------- task masks
+LIMB_JOINTS = np.array([12, 13, 15, 16, 5, 6, 2, 3])  # lib/sampling.py:512
+
+
+def make_task_mask(
+    task: str,
+    shape: tuple,
+    jlist: Optional[str] = None,
+    randj: Optional[int] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Imputation masks for the legacy task modes (lib/sampling.py:500-531).
+
+    1 = imputed-from-condition entries. est masks depth only; comp2d/comp3d
+    mask listed or random limb joints; den/gen mask nothing.
+    """
+    mask = np.ones(shape, dtype=np.float32)
+    rng = np.random.RandomState(seed)
+    if task == "est":
+        mask[..., -1] = 0
+    elif task in ("comp2d", "comp3d"):
+        if jlist:
+            part_list = list(map(int, jlist.split(",")))
+            mask[:, part_list, :] = 0
+        elif randj:
+            for b in range(shape[0]):
+                joints = rng.choice(LIMB_JOINTS, randj, replace=False)
+                mask[b, joints, :] = 0
+        if task == "comp2d":
+            mask[..., -1] = 0
+    elif task in ("den", "gen"):
+        mask[:] = 0
+    else:
+        raise ValueError(f"unknown task {task!r}")
+    return mask
+
+
+# ------------------------------------------------------------- dispatcher
+def get_sampling_fn(config, sde: SDE, shape, inverse_scaler, eps: float):
+    """API-parity dispatcher (sampling.py:80-127): 'pc' -> PCSampler bound to
+    config, 'ode' -> ODE sampler. Returns an object with the same call
+    surfaces used by the run scripts."""
+    name = config.sampling.method.lower()
+    if name == "pc":
+        return PCSampler(
+            sde=sde,
+            predictor=config.sampling.predictor.lower(),
+            corrector=config.sampling.corrector.lower(),
+            snr=config.sampling.snr,
+            n_steps=config.sampling.n_steps_each,
+            probability_flow=config.sampling.probability_flow,
+            continuous=config.training.continuous,
+            denoise=config.sampling.noise_removal,
+            eps=eps,
+        )
+    if name == "ode":
+        from zedo_tpu.diffusion.ode import ODESampler
+
+        return ODESampler(
+            sde=sde, shape=tuple(shape), denoise=config.sampling.noise_removal, eps=eps
+        )
+    raise ValueError(f"Sampler name {name} unknown.")
