@@ -1,0 +1,187 @@
+"""The ZeDO zero-shot pipeline: cluster init -> IPO -> OIL, for S hypotheses.
+
+Rebuild of run/opt_main.py:164-224. The reference iterates hypotheses in a
+sequential Python loop (opt_main.py:166) and steps OIL on the host; here the
+per-hypothesis program (IPO fit + 1000-step OIL scan) is vmapped over S and
+jitted once, so an S=50 H36M evaluation is a single XLA program of shape
+[S, N, ...] — and `solve_sharded` pjits it with N sharded across a device
+mesh (ICI-scale data parallelism; weights replicated).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zedo_tpu.diffusion.sampling import PCSampler
+from zedo_tpu.diffusion.sde import SDE
+from zedo_tpu.models import score_mlp
+from zedo_tpu.zeroshot.ipo import IPOConfig, init_translation, run_ipo
+from zedo_tpu.zeroshot.oil import OILConfig, OILResult, run_oil
+
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class ZeDOConfig:
+    """Static pipeline configuration — the config.ZeDO block
+    (configs/optim/concat_pose_optimization_h36m.py:70-81)."""
+
+    ipo: IPOConfig = IPOConfig()
+    oil: OILConfig = OILConfig()
+
+    @classmethod
+    def from_config(cls, config) -> "ZeDOConfig":
+        """Build from an ml_collections config with a ZeDO block."""
+        z = config.ZeDO
+        return cls(
+            ipo=IPOConfig(
+                iterations=z.IPO_iterations,
+                keypoint_list=tuple(z.IPO_keylist),
+                rot_axes=z.RotAxes,
+                t_norm=z.IPO_T,
+                min_scale_t=z.IPO_minScaleT,
+                max_scale_t=z.IPO_maxScaleT,
+            ),
+            oil=OILConfig(
+                iterations=z.OIL_iterations,
+                sampling_eps=z.sampling_eps,
+            ),
+        )
+
+
+class SolveResult(NamedTuple):
+    poses: jax.Array  # [N, S, j, 3]
+    translations: jax.Array  # [N, S, 1, 3]
+
+
+def solve_one_hypothesis(
+    params: dict,
+    model_cfg: score_mlp.ScoreMLPConfig,
+    sde: SDE,
+    sampler: PCSampler,
+    cfg: ZeDOConfig,
+    cluster_pose: jax.Array,  # [j, 3] one cluster-center pose
+    cond2d: jax.Array,  # [N, j, >=2]
+    conf: Optional[jax.Array],  # [N, j] or None
+    k: jax.Array,  # [N, 3, 3]
+    rng: Optional[jax.Array] = None,
+    precision=None,
+) -> OILResult:
+    """One hypothesis over the full batch (the body of opt_main.py:166-220)."""
+    n = cond2d.shape[0]
+    # root-center the cluster pose and broadcast (opt_main.py:167-168)
+    pose0 = cluster_pose - cluster_pose[0:1, :]
+    pose0 = jnp.broadcast_to(pose0[None], (n,) + pose0.shape)
+
+    ipo = run_ipo(pose0, cond2d, k, cfg.ipo)
+    # rotate the init pose by the fitted rotation (opt_main.py:201)
+    x0 = jnp.einsum("bij,bnj->bni", ipo.rot_mat, pose0, precision=_EXACT)
+
+    return run_oil(
+        params, model_cfg, sde, sampler,
+        x0, ipo.translation, cond2d, k, conf, cfg.oil,
+        rng=rng, precision=precision,
+    )
+
+
+def solve(
+    params: dict,
+    model_cfg: score_mlp.ScoreMLPConfig,
+    sde: SDE,
+    sampler: PCSampler,
+    cfg: ZeDOConfig,
+    cluster_poses: jax.Array,  # [S, j, 3]
+    cond2d: jax.Array,  # [N, j, >=2]
+    conf: Optional[jax.Array],
+    k: jax.Array,
+    rng: Optional[jax.Array] = None,
+    precision=None,
+) -> SolveResult:
+    """All S hypotheses via vmap; returns [N, S, j, 3] (opt_main.py:222-224)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rngs = jax.random.split(rng, cluster_poses.shape[0])
+
+    def one(cluster_pose, hyp_rng):
+        return solve_one_hypothesis(
+            params, model_cfg, sde, sampler, cfg,
+            cluster_pose, cond2d, conf, k, rng=hyp_rng, precision=precision,
+        )
+
+    result = jax.vmap(one)(cluster_poses, rngs)  # [S, N, ...]
+    return SolveResult(
+        poses=jnp.swapaxes(result.pose, 0, 1),
+        translations=jnp.swapaxes(result.translation, 0, 1),
+    )
+
+
+_solve_jitted = jax.jit(
+    solve, static_argnames=("model_cfg", "sde", "sampler", "cfg", "precision")
+)
+
+
+def solve_jit(params, model_cfg, sde, sampler, cfg, cluster_poses, cond2d, conf, k,
+              rng=None, precision=None) -> SolveResult:
+    """jitted entry; static pieces (configs/sde/sampler) are hashable frozen
+    dataclasses, so retracing only happens when they change."""
+    return _solve_jitted(
+        params, model_cfg=model_cfg, sde=sde, sampler=sampler, cfg=cfg,
+        cluster_poses=cluster_poses, cond2d=cond2d, conf=conf, k=k,
+        rng=rng, precision=precision)
+
+
+def solve_sharded(
+    mesh,
+    params: dict,
+    model_cfg: score_mlp.ScoreMLPConfig,
+    sde: SDE,
+    sampler: PCSampler,
+    cfg: ZeDOConfig,
+    cluster_poses,
+    cond2d,
+    conf,
+    k,
+    rng=None,
+    precision=None,
+    data_axis: str = "data",
+) -> SolveResult:
+    """Multi-chip solve: shard the pose batch N over `data_axis` of `mesh`,
+    replicate weights and cluster poses. No collectives are needed inside the
+    solve (poses are independent); XLA partitions the whole scan.
+
+    N must be divisible by the mesh axis size — use data.sharding.pad_batch
+    to pad-and-mask (the DistributedEvalSampler replacement, SURVEY §2.6).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(data_axis))
+
+    cond2d = jax.device_put(cond2d, batch_sharded)
+    k = jax.device_put(k, batch_sharded)
+    if conf is not None:
+        conf = jax.device_put(conf, batch_sharded)
+    params = jax.device_put(params, repl)
+    cluster_poses = jax.device_put(cluster_poses, repl)
+
+    fn = _sharded_solve_fn(mesh, data_axis)
+    return fn(params, model_cfg=model_cfg, sde=sde, sampler=sampler, cfg=cfg,
+              cluster_poses=cluster_poses, cond2d=cond2d, conf=conf, k=k,
+              rng=rng, precision=precision)
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_solve_fn(mesh, data_axis: str):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharded = NamedSharding(mesh, P(data_axis))
+    return jax.jit(
+        solve,
+        static_argnames=("model_cfg", "sde", "sampler", "cfg", "precision"),
+        out_shardings=SolveResult(poses=batch_sharded, translations=batch_sharded),
+    )
