@@ -1,0 +1,112 @@
+"""Headline benchmark: full H36M-scale zero-shot eval on real hardware.
+
+Workload (BASELINE.md): N=886 poses x S=50 hypotheses, 500 IPO Adam steps +
+1000 OIL steps (each OIL step = translation solve + ray gradient + one
+score-network forward on [N*S, 51] -> 1024-wide residual MLP). Synthetic
+inputs, random weights — identical compute to a trained checkpoint.
+
+Prints one JSON line:
+  {"metric": "h36m_s50_eval_wallclock", "value": <s>, "unit": "s",
+   "vs_baseline": <60/s>}
+vs_baseline > 1 beats the driver's v4-8 <60s target (BASELINE.json). The
+reference implementation has no published speed numbers (SURVEY §6); its
+architecture does 44.3M sequential host-roundtrip sampler calls' worth of
+work per run (S x 1000 steps, numpy<->GPU each step).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_inputs(n=886, s=50, j=17, seed=0):
+    rng = np.random.RandomState(seed)
+    k = np.zeros((n, 3, 3), np.float32)
+    k[:, 0, 0] = k[:, 1, 1] = 1145.0
+    k[:, 0, 2] = k[:, 1, 2] = 512.0
+    k[:, 2, 2] = 1.0
+    pose = rng.randn(n, j, 3).astype(np.float32) * 0.25
+    pose -= pose[:, 0:1]
+    t = np.zeros((n, 1, 3), np.float32)
+    t[..., 2] = 4.5
+    cam = pose + t
+    px = np.einsum("bij,bnj->bni", k, cam)
+    px = (px[..., :2] / px[..., 2:]).astype(np.float32)
+    conf = np.clip(rng.rand(n, j).astype(np.float32) + 0.3, 0, 1)
+    clusters = (rng.randn(s, j, 3) * 0.25).astype(np.float32)
+    return px, conf, k, clusters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from zedo_tpu.diffusion.sampling import PCSampler
+    from zedo_tpu.diffusion.sde import SubVPSDE
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.parallel.mesh import default_mesh
+    from zedo_tpu.zeroshot import pipeline
+
+    n, s = 886, 50
+    dtype = "bf16" if "--bf16" in sys.argv else "fp32"
+    px, conf, k, clusters = build_inputs(n=n, s=s)
+
+    cfg_m = score_mlp.ScoreMLPConfig()
+    params = score_mlp.init_params(jax.random.PRNGKey(0), cfg_m)
+    if dtype == "bf16":
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        precision = None
+    else:
+        precision = jax.lax.Precision.HIGHEST
+
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=True, denoise=True, eps=0.01)
+    zcfg = pipeline.ZeDOConfig()  # 500 IPO / 1000 OIL, h36m keylist
+
+    mesh = default_mesh()
+    args = (
+        jnp.asarray(clusters), jnp.asarray(px), jnp.asarray(conf), jnp.asarray(k)
+    )
+
+    def run(seed):
+        # vary the rng so no caching layer can alias runs; materialize a
+        # host-side scalar to force full completion (block_until_ready is
+        # not reliable on the experimental axon platform)
+        out = pipeline.solve_sharded(
+            mesh, params, cfg_m, sde, sampler, zcfg, *args,
+            rng=jax.random.PRNGKey(seed), precision=precision,
+        )
+        checksum = float(jnp.sum(out.poses))
+        return out, checksum
+
+    t0 = time.time()
+    _, checksum0 = run(0)  # compile + first run
+    compile_and_first = time.time() - t0
+
+    t0 = time.time()
+    out, checksum = run(1)
+    elapsed = time.time() - t0
+    assert np.isfinite(checksum), checksum
+
+    result = {
+        "metric": "h36m_s50_eval_wallclock",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(60.0 / elapsed, 3),
+        "extras": {
+            "poses_per_s": round(n * s / elapsed, 1),
+            "compile_plus_first_run_s": round(compile_and_first, 3),
+            "dtype": dtype,
+            "devices": len(jax.devices()),
+            "device_kind": jax.devices()[0].device_kind,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Shared structure of the per-dataset optimization configs.
+
+The reference repeats an 80-line config per dataset (configs/optim/*.py);
+only the `data.dataset`, `DATASET.NUM_JOINT`, and `config.ZeDO` values differ.
+Keys and values are numerically identical to the reference files.
+"""
+import ml_collections
+
+
+def build_optim_config(get_defaults, dataset: str, zedo: dict, num_joint=None):
+    config = get_defaults()
+
+    training = config.training
+    training.sde = "subvpsde"
+    training.continuous = True
+    training.n_iters = 950001
+    training.reduce_mean = True
+
+    sampling = config.sampling
+    sampling.method = "pc"
+    sampling.predictor = "euler_maruyama"
+    sampling.corrector = "none"
+
+    data = config.data
+    data.centered = True
+    data.dataset = dataset
+    if num_joint is not None:
+        config.DATASET.NUM_JOINT = num_joint
+
+    model = config.model
+    model.name = "ncsnpp"
+    model.fourier_scale = 16
+    model.scale_by_sigma = False
+    model.ema_rate = 0.9999
+    model.normalization = "GroupNorm"
+    model.nonlinearity = "swish"
+    model.nf = 128
+    model.ch_mult = (1, 2, 2, 2)
+    model.num_res_blocks = 8
+    model.attn_resolutions = (16,)
+    model.resamp_with_conv = True
+    model.conditional = False
+    model.fir = True
+    model.fir_kernel = [1, 3, 3, 1]
+    model.skip_rescale = True
+    model.resblock_type = "biggan"
+    model.progressive = "none"
+    model.progressive_input = "residual"
+    model.progressive_combine = "sum"
+    model.attention_type = "ddpm"
+    model.embedding_type = "positional"
+    model.init_scale = 0.0
+    model.conv_size = 3
+    model.t = 0.1
+
+    config.ZeDO = ml_collections.ConfigDict()
+    z = config.ZeDO
+    z.IPO_iterations = zedo.get("IPO_iterations", 500)
+    z.IPO_keylist = list(zedo["IPO_keylist"])
+    z.RotAxes = zedo["RotAxes"]
+    z.IPO_T = zedo["IPO_T"]
+    z.IPO_minScaleT = zedo["IPO_minScaleT"]
+    z.IPO_maxScaleT = zedo["IPO_maxScaleT"]
+    z.OIL_iterations = zedo.get("OIL_iterations", 1000)
+    z.sample = zedo["sample"]
+    z.batch = zedo["batch"]
+    z.sampling_eps = zedo.get("sampling_eps", 0.01)
+    return config
+
+
+ALL_17 = list(range(17))

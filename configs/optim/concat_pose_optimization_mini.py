@@ -1,0 +1,12 @@
+"""MINI-RGBD eval config (reference configs/optim/concat_pose_optimization_mini.py)."""
+from configs.default_mini_configs import get_default_configs
+from configs.optim._base import ALL_17, build_optim_config
+
+
+def get_config():
+    return build_optim_config(
+        get_default_configs, "mini",
+        dict(IPO_keylist=ALL_17, RotAxes="xyz", IPO_T=1,
+             IPO_minScaleT=0, IPO_maxScaleT=4, sample=640, batch=886),
+        num_joint=17,
+    )

@@ -1,0 +1,11 @@
+"""3DPW eval config (reference configs/optim/concat_pose_optimization_pw3d.py)."""
+from configs.default_pose_gen_configs import get_default_configs
+from configs.optim._base import ALL_17, build_optim_config
+
+
+def get_config():
+    return build_optim_config(
+        get_default_configs, "3dpw",
+        dict(IPO_keylist=ALL_17, RotAxes="z", IPO_T=8,
+             IPO_minScaleT=0.2, IPO_maxScaleT=2, sample=35, batch=1015),
+    )

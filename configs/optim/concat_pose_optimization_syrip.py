@@ -1,0 +1,12 @@
+"""SyRIP eval config (reference configs/optim/concat_pose_optimization_syrip.py)."""
+from configs.default_mini_configs import get_default_configs
+from configs.optim._base import build_optim_config
+
+
+def get_config():
+    return build_optim_config(
+        get_default_configs, "syrip",
+        dict(IPO_keylist=list(range(12)), RotAxes="xyz", IPO_T=1,
+             IPO_minScaleT=0.5, IPO_maxScaleT=8, sample=640, batch=886),
+        num_joint=12,
+    )

@@ -1,0 +1,182 @@
+"""End-to-end CLI pipeline tests: synthetic data dir + real full-size .pth
+checkpoint -> opt_main pipeline -> eval; plus the trainer loop."""
+import os
+import pickle
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import configs.optim.concat_pose_optimization_h36m as h36m_cfg
+from tests.torch_mirror import TorchScoreMLP
+from zedo_tpu.run import opt_main
+
+
+@pytest.fixture
+def workdir(tmp_path, rng):
+    """data/h36m fixture + clusters + checkpoint."""
+    n = 8
+    data_dir = tmp_path / "data" / "h36m"
+    data_dir.mkdir(parents=True)
+    items = []
+    k_vals = dict(fx=1000.0, fy=1000.0, cx=500.0, cy=500.0)
+    for i in range(n):
+        pose = rng.randn(17, 3) * 250  # mm
+        pose -= pose[0:1]
+        trans = np.array([200.0, 0.0, 4200.0])
+        cam = pose + trans
+        img = np.zeros((17, 3))
+        img[:, 0] = cam[:, 0] / cam[:, 2] * k_vals["fx"] + k_vals["cx"]
+        img[:, 1] = cam[:, 1] / cam[:, 2] * k_vals["fy"] + k_vals["cy"]
+        items.append(
+            {
+                "joint_3d_camera": cam,
+                "joint_3d_image": img,
+                "camera_param": {k: np.array(v) for k, v in k_vals.items()},
+                "image_path": f"{i}.jpg",
+                "action": 2 + (i % 3),
+            }
+        )
+    with open(data_dir / "h36m_test.pkl", "wb") as f:
+        pickle.dump(items, f)
+
+    clusters_dir = tmp_path / "clusters"
+    clusters_dir.mkdir()
+    base = items[0]["joint_3d_camera"] / 1000.0
+    clusters = np.stack([base, base + rng.randn(17, 3) * 0.05])
+    np.save(clusters_dir / "h36m_cluster2.npy", clusters)
+
+    ckpt_dir = tmp_path / "checkpoint"
+    ckpt_dir.mkdir()
+    tm = TorchScoreMLP()  # full-size 1024/512 positional
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    shadow = [p.detach().clone() for p in tm.parameters() if p.requires_grad]
+    torch.save(
+        {"epoch": 1, "model_state_dict": sd, "optimizer_state_dict": None,
+         "ema": {"decay": 0.9999, "num_updates": 10, "shadow_params": shadow},
+         "step": 123},
+        ckpt_dir / "checkpoint_1500.pth",
+    )
+    return tmp_path
+
+
+def _args(tmp_path, **kw):
+    base = dict(
+        ckpt_dir=str(tmp_path / "checkpoint"), ckpt_name="checkpoint_1500.pth",
+        gt=True, hypo=2, ema=False, dtype="fp32", save=None, seed=0,
+        cluster_dir=str(tmp_path / "clusters"), data_dir=str(tmp_path / "data"),
+        strict_batch=False,
+    )
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def test_opt_main_pipeline_end_to_end(workdir, monkeypatch):
+    config = h36m_cfg.get_config()
+    config.ZeDO.sample = 1
+    config.ZeDO.IPO_iterations = 50
+    config.ZeDO.OIL_iterations = 40
+    args = _args(workdir)
+
+    dataset = opt_main.build_dataset(config, args)
+    assert len(dataset.db_2d) == 8
+    results = opt_main.run_pipeline(config, args, dataset)
+    assert results.shape == (8, 2, 17, 3)
+    assert np.all(np.isfinite(results))
+    e1 = dataset.eval_multi(results, protocol2=False, print_verbose=True)
+    e2 = dataset.eval_multi(results, protocol2=True, print_verbose=True)
+    # untrained prior, GT 2D, 40 OIL steps: alignment should still land
+    # within tens of cm; sanity-bound only
+    assert 0 < e2 <= e1 < 2.0
+
+
+def test_opt_main_ema_and_bf16(workdir):
+    config = h36m_cfg.get_config()
+    config.ZeDO.sample = 1
+    config.ZeDO.IPO_iterations = 10
+    config.ZeDO.OIL_iterations = 5
+    dataset = opt_main.build_dataset(config, _args(workdir))
+    r_ema = opt_main.run_pipeline(config, _args(workdir, ema=True), dataset)
+    r_bf16 = opt_main.run_pipeline(config, _args(workdir, dtype="bf16"), dataset)
+    assert np.all(np.isfinite(r_ema)) and np.all(np.isfinite(r_bf16))
+
+
+def test_trainer_loop(tmp_path, rng):
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.models.registry import make_mlp_config
+    from zedo_tpu.train import trainer
+
+    config = mini_cfg.get_config()
+    config.training.batch_size = 32
+    config.eval.batch_size = 16
+    config.model.num_scales = 100
+
+    class FakeDS:
+        db_3d = rng.randn(64, 17, 3).astype(np.float32) * 0.1
+        db_2d = np.zeros((64, 17, 2), np.float32)
+
+    model_cfg = make_mlp_config(config, n_joints=17).__class__(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional", num_scales=100,
+    )
+    state, history = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "out"),
+        model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=3, eval_freq=2, seed=0),
+    )
+    assert int(state.step) == 3 * 2  # 64/32 = 2 steps per epoch
+    assert np.isfinite(history).all()
+    # checkpoint + eval samples written at epochs 0 and 2
+    assert os.path.exists(tmp_path / "out" / "results_0.npy")
+    assert os.path.exists(tmp_path / "out" / "checkpoint_2")
+    # restore roundtrip
+    from zedo_tpu.utils.checkpoint import restore_native
+
+    restored = restore_native(str(tmp_path / "out" / "checkpoint_2"))
+    assert int(restored["epoch"]) == 3
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["pre_dense"]["weight"]),
+        np.asarray(state.params["pre_dense"]["weight"]),
+        atol=0,
+    )
+
+
+def test_sharded_train_step(rng):
+    """DP train step over an 8-device mesh; loss matches single device."""
+    import jax
+    import jax.numpy as jnp
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from jax.sharding import Mesh
+    from zedo_tpu.diffusion import losses as losses_lib
+    from zedo_tpu.diffusion.sde import SubVPSDE
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.train import trainer
+
+    config = mini_cfg.get_config()
+    model_cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional",
+    )
+    params = score_mlp.init_params(jax.random.PRNGKey(0), model_cfg)
+    optimizer = losses_lib.get_optimizer(config)
+    sde = SubVPSDE(n=1000, t_max=1.0)
+
+    state = losses_lib.init_train_state(params, optimizer, 0.9999)
+    batch = jnp.asarray(rng.randn(16, 17, 3).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    single = trainer.make_train_step(sde, score_mlp.apply, model_cfg, optimizer)
+    s1, l1 = single(state, key, batch, None, None)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded, bsh = trainer.make_sharded_train_step(
+        mesh, sde, score_mlp.apply, model_cfg, optimizer
+    )
+    s2, l2 = sharded(state, key, jax.device_put(batch, bsh), None, None)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["post_dense"]["bias"]),
+        np.asarray(s2.params["post_dense"]["bias"]),
+        atol=1e-6,
+    )

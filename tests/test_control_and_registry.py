@@ -1,0 +1,106 @@
+"""Control model, registry, and config-system tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zedo_tpu.models import control_mlp, nn, score_mlp
+from zedo_tpu.models.registry import create_model, get_model, make_mlp_config
+
+
+def _cfg(**kw):
+    base = dict(n_joints=12, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=2,
+                embedding_type="positional")
+    base.update(kw)
+    return score_mlp.ScoreMLPConfig(**base)
+
+
+def test_control_init_copies_trunk():
+    cfg = _cfg()
+    params = control_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params["pre_dense_copy"]["weight"]),
+        np.asarray(params["pre_dense"]["weight"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["b2_gnorm2_copy"]["bias"]),
+        np.asarray(params["b2_gnorm2"]["bias"]),
+    )
+
+
+def test_control_with_zero_bridges_equals_trunk():
+    """With all zc bridges zeroed, the control injection vanishes and the
+    trunk path must equal plain ScoreMLP."""
+    cfg = _cfg()
+    params = control_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    for k in list(params):
+        if k.startswith("zc"):
+            params[k] = nn.zero_module(params[k])
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 12, 3).astype(np.float32))
+    t = jnp.full((4,), 42.0)
+    got = control_mlp.apply(params, cfg, x, t)
+    trunk = {k: v for k, v in params.items() if "copy" not in k and not k.startswith("zc")
+             and k != "infant_cond"}
+    want = score_mlp.apply(trunk, cfg, x, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_control_trainable_mask():
+    cfg = _cfg()
+    params = control_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    mask = control_mlp.trainable_mask(params)
+    assert mask["infant_cond"] is True
+    assert mask["pre_dense_copy"]["weight"] is True
+    assert mask["zc_layer_1"]["bias"] is True
+    assert mask["pre_dense"]["weight"] is False
+    assert mask["post_dense"]["weight"] is False
+    # trainable count matches freeze() semantics: copy + zc + infant_cond
+    leaves = jax.tree.leaves(mask)
+    assert any(leaves) and not all(leaves)
+
+
+def test_registry_create_model():
+    import configs.optim.concat_pose_optimization_h36m as cfgmod
+
+    config = cfgmod.get_config()
+    params, apply_fn, mcfg = create_model(config, rng=jax.random.PRNGKey(0))
+    assert mcfg.embedding_type == "positional"
+    assert mcfg.n_joints == 17
+    out = apply_fn(params, mcfg, jnp.zeros((2, 17, 3)), jnp.full((2,), 10.0))
+    assert out.shape == (2, 17, 3)
+    assert get_model("ncsnpp").apply is get_model("score_mlp").apply
+
+
+def test_all_optim_configs_load():
+    import importlib
+
+    expected = {
+        "h36m": dict(keylist=[0, 1, 4], axes="z", t=3, sample=640, batch=886),
+        "3dhp": dict(keylist=[0, 1, 4], axes="z", t=3, sample=3, batch=959),
+        "pw3d": dict(keylist=list(range(17)), axes="z", t=8, sample=35, batch=1015),
+        "ski": dict(keylist=list(range(17)), axes="y", t=20, sample=1, batch=1716),
+        "mini": dict(keylist=list(range(17)), axes="xyz", t=1, sample=640, batch=886),
+        "syrip": dict(keylist=list(range(12)), axes="xyz", t=1, sample=640, batch=886),
+        "wild": dict(keylist=[0, 1, 4], axes="z", t=3, sample=640, batch=886),
+    }
+    for name, want in expected.items():
+        mod = importlib.import_module(f"configs.optim.concat_pose_optimization_{name}")
+        c = mod.get_config()
+        assert c.training.sde == "subvpsde"
+        assert c.sampling.predictor == "euler_maruyama"
+        assert c.sampling.corrector == "none"
+        assert c.model.embedding_type == "positional"
+        assert c.model.t == 0.1
+        assert list(c.ZeDO.IPO_keylist) == want["keylist"], name
+        assert c.ZeDO.RotAxes == want["axes"], name
+        assert c.ZeDO.IPO_T == want["t"], name
+        assert c.ZeDO.sample == want["sample"], name
+        assert c.ZeDO.batch == want["batch"], name
+        assert c.ZeDO.IPO_iterations == 500
+        assert c.ZeDO.OIL_iterations == 1000
+        assert c.ZeDO.sampling_eps == 0.01
+    # infant defaults
+    mini = importlib.import_module("configs.optim.concat_pose_optimization_mini").get_config()
+    assert mini.DATASET.NUM_JOINT == 17
+    syr = importlib.import_module("configs.optim.concat_pose_optimization_syrip").get_config()
+    assert syr.DATASET.NUM_JOINT == 12
+    assert syr.training.batch_size == 5000

@@ -1,0 +1,80 @@
+"""Model registry (reference utils.py:630-700 register_model/get_model/
+create_model). A registered model is a (init_params, apply, config_builder)
+triple keyed by name; `create_model` builds params+apply from an
+ml_collections config, the parity surface of `create_model` minus the
+DataParallel wrap (sharding is a jit-level concern here, not a module wrap).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+
+from zedo_tpu.models import control_mlp, score_mlp
+
+_MODELS: dict[str, "ModelDef"] = {}
+
+
+class ModelDef(NamedTuple):
+    init_params: Callable
+    apply: Callable
+    make_config: Callable  # (ml_collections config, **dims) -> ScoreMLPConfig
+
+
+def register_model(model: ModelDef = None, *, name: str = None):
+    def _register(model):
+        local_name = name
+        if local_name in _MODELS:
+            raise ValueError(f"Already registered model with name: {local_name}")
+        _MODELS[local_name] = model
+        return model
+
+    return _register(model) if model is not None else _register
+
+
+def get_model(name: str) -> ModelDef:
+    return _MODELS[name]
+
+
+def make_mlp_config(config, n_joints=17, joint_dim=3, hidden_dim=1024,
+                    embed_dim=512, cond_dim=3, n_blocks=2) -> score_mlp.ScoreMLPConfig:
+    """Dims from run/opt_main.py:33-37; the rest from config.model."""
+    return score_mlp.ScoreMLPConfig(
+        n_joints=n_joints,
+        joint_dim=joint_dim,
+        hidden_dim=hidden_dim,
+        embed_dim=embed_dim,
+        cond_dim=cond_dim,
+        n_blocks=n_blocks,
+        embedding_type=config.model.embedding_type.lower(),
+        fourier_scale=float(config.model.get("fourier_scale", 16.0)),
+        scale_by_sigma=bool(config.model.scale_by_sigma),
+        dropout=float(config.model.get("dropout", 0.25)),
+        sigma_min=float(config.model.sigma_min),
+        sigma_max=float(config.model.sigma_max),
+        num_scales=int(config.model.num_scales),
+    )
+
+
+register_model(
+    ModelDef(score_mlp.init_params, score_mlp.apply, make_mlp_config),
+    name="score_mlp",
+)
+# the reference registers its MLP under the (misleading) legacy name 'ncsnpp'
+# (configs set model.name='ncsnpp'); alias it for config parity
+register_model(
+    ModelDef(score_mlp.init_params, score_mlp.apply, make_mlp_config),
+    name="ncsnpp",
+)
+register_model(
+    ModelDef(control_mlp.init_params, control_mlp.apply, make_mlp_config),
+    name="control_mlp",
+)
+
+
+def create_model(config, name: str = None, rng=None, **dims):
+    """(params, apply_fn, model_cfg) from an ml_collections config."""
+    model = get_model(name or config.model.name)
+    cfg = model.make_config(config, **dims)
+    params = model.init_params(rng if rng is not None else jax.random.PRNGKey(0), cfg)
+    return params, model.apply, cfg

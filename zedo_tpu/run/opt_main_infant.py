@@ -1,0 +1,148 @@
+"""ZeDO-i infant evaluation CLI (reference run/opt_main_infant.py).
+
+Flags --control/--cond select the ControlNet adapter or the conditional
+variant (opt_main_infant.py:122-148; the reference's `model_cond` module is
+missing from its repo — here `--cond` maps to the same hook with a plain
+ScoreMLP until a conditional variant checkpoint format exists, documented in
+SURVEY §2.2). Pipeline deltas vs opt_main live in zedo_tpu/zeroshot/infant.py.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from absl import app, flags
+from absl.flags import argparse_flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+config_flags.DEFINE_config_file(
+    "config", None, "Training configuration.", lock_config=False)
+flags.mark_flags_as_required(["config"])
+
+JOINT_DIM = 3
+HIDDEN_DIM = 1024
+EMBED_DIM = 512
+# SMIL-25 -> H36M-17 (opt_main_infant.py:50)
+CHANGE_TABLE = [0, 2, 5, 11, 1, 4, 10, 3, 9, 12, 15, 13, 18, 20, 14, 19, 21]
+
+
+def parse_args(argv):
+    parser = argparse_flags.ArgumentParser(description="valid score model")
+    parser.add_argument("--ckpt_dir", type=str)
+    parser.add_argument("--ckpt_name", type=str)
+    parser.add_argument("--gt", action="store_true", default=False)
+    parser.add_argument("--hypo", type=int, default=1)
+    parser.add_argument("--control", default=False, action="store_true")
+    parser.add_argument("--cond", default=False, action="store_true")
+    parser.add_argument("--dtype", type=str, default="fp32", choices=["fp32", "bf16"])
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--cluster_path", type=str, default=None,
+                        help="cluster npy (default mini_cluster_{hypo}.npy)")
+    parser.add_argument("--save", type=str, default=None)
+    return parser.parse_args(argv[1:])
+
+
+def get_datasets(config):
+    from zedo_tpu.data import mini_rgbd, syrip
+
+    if config.data.dataset == "mini":
+        train = mini_rgbd("train", gt2d=True, read_confidence=False,
+                          sample_interval=1, num_joint=17)
+        test = mini_rgbd("validate", gt2d=True, read_confidence=False,
+                         sample_interval=1, num_joint=17)
+    elif config.data.dataset == "syrip":
+        train = syrip("train", gt2d=True, read_confidence=False,
+                      sample_interval=1, num_joint=12)
+        test = syrip("validate", gt2d=True, read_confidence=False,
+                     sample_interval=1, num_joint=12)
+    else:
+        raise ValueError(config.data.dataset)
+    return train, test
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from zedo_tpu.data.mini_rgbd import MINI_K, SMIL_TO_H36M
+    from zedo_tpu.diffusion.sampling import get_sampling_fn
+    from zedo_tpu.diffusion.sde import build_sde
+    from zedo_tpu.models import control_mlp, score_mlp
+    from zedo_tpu.models.registry import make_mlp_config
+    from zedo_tpu.utils.checkpoint import load_torch_checkpoint
+    from zedo_tpu.zeroshot import infant, pipeline
+
+    config = FLAGS.config
+    n_joints = config.DATASET.NUM_JOINT
+    train_dataset, test_dataset = get_datasets(config)
+
+    model_cfg = make_mlp_config(
+        config, n_joints=n_joints, joint_dim=JOINT_DIM,
+        hidden_dim=HIDDEN_DIM, embed_dim=EMBED_DIM,
+    )
+    model_apply = control_mlp.apply if args.control else score_mlp.apply
+
+    ckpt_path = os.path.join(args.ckpt_dir, args.ckpt_name)
+    print(f"loading model from {ckpt_path}")
+    ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
+    params = ckpt["params"]
+    print(f"=> loaded checkpoint '{ckpt_path}' (step {ckpt['step']})")
+
+    sde = build_sde(
+        config.training.sde,
+        beta_min=config.model.beta_min, beta_max=config.model.beta_max,
+        sigma_min=config.model.sigma_min, sigma_max=config.model.sigma_max,
+        n=config.model.num_scales, t_max=config.model.t,
+    )
+    config.sampling.probability_flow = True
+    sampler = get_sampling_fn(
+        config, sde, (config.ZeDO.batch, n_joints, JOINT_DIM),
+        lambda x: x, config.ZeDO.sampling_eps,
+    )
+    zcfg = pipeline.ZeDOConfig.from_config(config)
+
+    gt_2d = test_dataset.db_2d
+    cond2d = np.asarray(gt_2d[:, :, :2], np.float32)
+
+    if config.data.dataset == "mini":
+        # fixed Kinect intrinsics (opt_main_infant.py:223-233)
+        k = np.zeros((len(cond2d), 3, 3), np.float32)
+        k[:, 0, 0], k[:, 1, 1] = MINI_K["fx"], MINI_K["fy"]
+        k[:, 0, 2], k[:, 1, 2] = MINI_K["cx"], MINI_K["cy"]
+        k[:, 2, 2] = 1
+        pelvis_mode = "joint0"
+        # cluster from mini_cluster_{N}.npy, remapped to H36M joints
+        # (opt_main_infant.py:242-248)
+        cluster_path = args.cluster_path or f"mini_cluster_{args.hypo}.npy"
+        sample_poses = np.load(cluster_path)
+        sample_poses = sample_poses[0][SMIL_TO_H36M].reshape(-1, 17, 3)
+    else:
+        k = np.asarray(test_dataset.K, np.float32)
+        pelvis_mode = "mean03"
+        # cluster = first train sample (opt_main_infant.py:237-240)
+        sample_poses = train_dataset.db_3d[0:1]
+
+    clusters = jnp.asarray(sample_poses[: args.hypo], jnp.float32)
+    if args.dtype == "bf16":
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+        precision = None
+    else:
+        precision = jax.lax.Precision.HIGHEST
+
+    result = infant.solve_infant(
+        params, model_apply, model_cfg, sde, sampler, zcfg,
+        clusters, jnp.asarray(cond2d), jnp.asarray(k),
+        pelvis_mode=pelvis_mode, refine_t_from=950,
+        rng=jax.random.PRNGKey(args.seed), precision=precision,
+    )
+    batch_results = np.asarray(result.poses)
+    if args.save:
+        np.save(args.save, batch_results)
+
+    print("eval...")
+    test_dataset.eval_multi(batch_results, protocol2=False, print_verbose=False)
+
+
+if __name__ == "__main__":
+    app.run(main, flags_parser=parse_args)

@@ -1,0 +1,120 @@
+"""Infant-prior training CLI (reference run/train_pose_mini.py).
+
+Flag surface matches the reference (train_pose_mini.py:148-168), with
+--fine_tune_ckpt replacing the author's hard-coded local paths
+(train_pose_mini.py:278-290).
+"""
+from __future__ import annotations
+
+import pprint
+
+from absl import app, flags
+from absl.flags import argparse_flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+config_flags.DEFINE_config_file(
+    "config", None, "Training configuration.", lock_config=False)
+flags.mark_flags_as_required(["config"])
+
+
+def parse_args(argv):
+    parser = argparse_flags.ArgumentParser(description="train score model")
+    parser.add_argument("--restore-dir", type=str)
+    parser.add_argument("--sample", type=int, help="sample trainset to reduce data")
+    parser.add_argument("--flip", default=False, action="store_true")
+    parser.add_argument("--restore_dir", default=False)
+    parser.add_argument("--rotflip", default=False, action="store_true")
+    parser.add_argument("--fine_tune", default=False, action="store_true")
+    parser.add_argument("--fine_tune_ckpt", type=str, default=None,
+                        help=".pth or orbax checkpoint to fine-tune from")
+    parser.add_argument("--name", type=str, default="")
+    parser.add_argument("--log_name", type=str)
+    parser.add_argument("--aug", default=False, action="store_true")
+    parser.add_argument("--scaled", default=False, action="store_true")
+    parser.add_argument("--epochs", type=int, default=None)
+    return parser.parse_args(argv[1:])
+
+
+def build_train_dataset(config, args):
+    from zedo_tpu.data import mini_rgbd, syrip
+
+    name = config.data.dataset
+    nj = config.DATASET.NUM_JOINT
+    kwargs = dict(gt2d=True, read_confidence=False, sample_interval=args.sample or 1,
+                  flip=args.rotflip, rot=args.rotflip, aug=args.aug)
+    if name == "mini":
+        return mini_rgbd("train", num_joint=17, **kwargs)
+    if name == "syrip":
+        return syrip("train", num_joint=nj, **kwargs)
+    if name in ("syrip_concat", "concate"):
+        import numpy as np
+
+        a = mini_rgbd("train", num_joint=nj, **kwargs)
+        b = syrip("train", num_joint=nj, **kwargs)
+
+        class _Concat:
+            db_3d = np.concatenate([a.db_3d, b.db_3d], axis=0)
+            db_2d = np.concatenate(
+                [np.zeros_like(a.db_3d), np.zeros_like(b.db_3d)], axis=0
+            )
+        return _Concat()
+    raise ValueError(name)
+
+
+def main(args):
+    config = FLAGS.config
+    from zedo_tpu.models.registry import make_mlp_config
+    from zedo_tpu.train import trainer
+    from zedo_tpu.utils.checkpoint import load_torch_checkpoint, restore_native
+    from zedo_tpu.utils.generic import create_logger
+
+    logger, final_output_dir, tb_log_dir = create_logger(
+        config, "train", folder_name=args.name, log_name=args.log_name
+    )
+    logger.info(pprint.pformat(config))
+    logger.info(pprint.pformat(args))
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(tb_log_dir)
+    except Exception:
+        writer = None
+
+    dataset = build_train_dataset(config, args)
+    logger.info(f"total train samples: {len(dataset.db_3d)}")
+
+    model_cfg = make_mlp_config(config, n_joints=config.DATASET.NUM_JOINT)
+    fine_tune_params = None
+    if args.fine_tune:
+        if not args.fine_tune_ckpt:
+            raise ValueError("--fine_tune requires --fine_tune_ckpt")
+        if args.fine_tune_ckpt.endswith(".pth"):
+            fine_tune_params = load_torch_checkpoint(args.fine_tune_ckpt, model_cfg)["params"]
+        else:
+            fine_tune_params = restore_native(args.fine_tune_ckpt)["params"]
+
+    tcfg = trainer.TrainerConfig(
+        n_epochs=args.epochs or trainer.N_EPOCHES,
+        data_scale=config.training.data_scale,
+        seed=config.seed,
+    )
+    try:
+        trainer.train_loop(
+            config, dataset,
+            output_dir=final_output_dir,
+            model_cfg=model_cfg,
+            trainer_cfg=tcfg,
+            fine_tune_params=fine_tune_params,
+            writer=writer,
+            logger=logger,
+        )
+    finally:
+        if writer is not None:
+            writer.close()
+        logger.info(f"End. Final output dir: {final_output_dir}")
+
+
+if __name__ == "__main__":
+    app.run(main, flags_parser=parse_args)

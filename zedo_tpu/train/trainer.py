@@ -1,0 +1,233 @@
+"""Score-prior training loop (reference run/train_pose_mini.py).
+
+Differences from the reference, all TPU-idiomatic:
+  * the train step (loss + clip + Adam + EMA) is one jitted program, pjit-able
+    over a (data[, model]) mesh — DataParallel/DDP machinery is gone;
+  * periodic eval sampling uses the full-loop PC sampler
+    (diffusion/sampling.py sample_loop — the reference imports a missing
+    `sampling_train` module for this, train_pose_mini.py:53);
+  * checkpoints are orbax pytrees {step, params, ema, opt_state, epoch};
+    utils/checkpoint.py converts legacy .pth for fine-tuning.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zedo_tpu.diffusion import ema as ema_lib
+from zedo_tpu.diffusion import losses as losses_lib
+from zedo_tpu.diffusion.sampling import PCSampler
+from zedo_tpu.diffusion.sde import build_sde
+from zedo_tpu.models import score_mlp
+from zedo_tpu.utils import checkpoint as ckpt_lib
+
+N_EPOCHES = 8000  # train_pose_mini.py:76
+EVAL_FREQ = 500  # train_pose_mini.py:77
+
+
+class AverageMeter:
+    """train_pose_mini.py:79-94."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count if self.count != 0 else 0
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    n_epochs: int = N_EPOCHES
+    eval_freq: int = EVAL_FREQ
+    data_scale: float = 1.0
+    sampling_eps: float = 1e-3
+    seed: int = 42
+    zero_condition: bool = True  # reference trains unconditionally (data_2d*0)
+
+
+def make_train_step(sde, model_apply_raw, model_cfg, optimizer,
+                    reduce_mean=False, continuous=True, likelihood_weighting=False):
+    """jitted TrainState step. model_apply_raw = score_mlp.apply-style fn."""
+
+    def model_apply(p, x, labels, cond, msk, train=False, rng=None):
+        return model_apply_raw(p, model_cfg, x, labels, cond, msk, train=train, rng=rng)
+
+    step_fn = losses_lib.get_step_fn(
+        sde, model_apply, optimizer, train=True, reduce_mean=reduce_mean,
+        continuous=continuous, likelihood_weighting=likelihood_weighting,
+    )
+    return jax.jit(step_fn)
+
+
+def make_sharded_train_step(mesh, sde, model_apply_raw, model_cfg, optimizer,
+                            data_axis: str = "data", model_axis: Optional[str] = None,
+                            reduce_mean=False):
+    """The multi-chip train step: batch sharded over `data_axis`, params
+    replicated (or TP-sharded over `model_axis` via parallel.mesh.tp_shardings
+    when given). XLA inserts the gradient all-reduce over ICI."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def model_apply(p, x, labels, cond, msk, train=False, rng=None):
+        return model_apply_raw(p, model_cfg, x, labels, cond, msk, train=train, rng=rng)
+
+    step_fn = losses_lib.get_step_fn(
+        sde, model_apply, optimizer, train=True, reduce_mean=reduce_mean,
+        continuous=True,
+    )
+    batch_sharding = NamedSharding(mesh, P(data_axis))
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(None, None, batch_sharding, None, None),
+        out_shardings=None,
+    )
+    return jitted, batch_sharding
+
+
+def train_loop(
+    config,
+    dataset,
+    test_dataset=None,
+    *,
+    output_dir: str = "./output/train",
+    model_apply_raw=score_mlp.apply,
+    model_init=score_mlp.init_params,
+    model_cfg: Optional[score_mlp.ScoreMLPConfig] = None,
+    trainer_cfg: TrainerConfig = TrainerConfig(),
+    fine_tune_params: Optional[dict] = None,
+    writer=None,
+    logger=None,
+    mesh=None,
+):
+    """The epoch loop (train_pose_mini.py:330-398).
+
+    `dataset` supplies db_3d [N, j, 3] (+db_2d); batches are shuffled slices
+    of the in-memory array (the reference's DataLoader over a fully-in-memory
+    dataset, minus worker processes).
+    """
+    log = logger.info if logger else print
+    os.makedirs(output_dir, exist_ok=True)
+
+    if model_cfg is None:
+        from zedo_tpu.models.registry import make_mlp_config
+
+        model_cfg = make_mlp_config(config, n_joints=config.DATASET.NUM_JOINT)
+
+    key = jax.random.PRNGKey(trainer_cfg.seed)
+    key, init_key = jax.random.split(key)
+    params = model_init(init_key, model_cfg)
+    if fine_tune_params is not None:
+        # strict=False semantics: take matching leaves from the checkpoint
+        params = ckpt_lib._merge(params, fine_tune_params)
+
+    optimizer = losses_lib.get_optimizer(config)
+    state = losses_lib.init_train_state(params, optimizer, config.model.ema_rate)
+
+    sde = build_sde(
+        config.training.sde,
+        beta_min=config.model.beta_min, beta_max=config.model.beta_max,
+        sigma_min=config.model.sigma_min, sigma_max=config.model.sigma_max,
+        n=config.model.num_scales,
+    )
+    if mesh is not None:
+        train_step, batch_sharding = make_sharded_train_step(
+            mesh, sde, model_apply_raw, model_cfg, optimizer,
+            reduce_mean=config.training.reduce_mean,
+        )
+    else:
+        train_step = make_train_step(
+            sde, model_apply_raw, model_cfg, optimizer,
+            reduce_mean=config.training.reduce_mean,
+            likelihood_weighting=config.training.likelihood_weighting,
+        )
+        batch_sharding = None
+
+    # eval-time sampler: full-loop PC (probability_flow False at training eval,
+    # train_pose_mini.py:325)
+    eval_sampler = PCSampler(
+        sde=sde, predictor=config.sampling.predictor.lower()
+        if "predictor" in config.sampling else "euler_maruyama",
+        corrector=config.sampling.corrector.lower()
+        if "corrector" in config.sampling else "none",
+        snr=config.sampling.snr, n_steps=config.sampling.n_steps_each,
+        probability_flow=False, continuous=config.training.continuous,
+        denoise=config.sampling.noise_removal, eps=trainer_cfg.sampling_eps,
+    )
+
+    data_3d = np.asarray(dataset.db_3d, np.float32) * trainer_cfg.data_scale
+    n = len(data_3d)
+    batch_size = min(config.training.batch_size, n)
+    steps_per_epoch = max(1, n // batch_size)
+    rng_np = np.random.RandomState(trainer_cfg.seed)
+
+    history = []
+    for epoch in range(trainer_cfg.n_epochs):
+        perm = rng_np.permutation(n)
+        meter = AverageMeter()
+        for i in range(steps_per_epoch):
+            idx = perm[i * batch_size : (i + 1) * batch_size]
+            batch = jnp.asarray(data_3d[idx])
+            if batch_sharding is not None:
+                batch = jax.device_put(batch, batch_sharding)
+            key, step_key = jax.random.split(key)
+            state, loss = train_step(state, step_key, batch, None, None)
+            loss = float(loss)
+            meter.update(loss)
+            if writer is not None:
+                writer.add_scalar("train_loss", loss, i + epoch * steps_per_epoch)
+        log(f"EPOCH: [{epoch}/{trainer_cfg.n_epochs}], Loss: {meter.avg}")
+        if writer is not None:
+            writer.add_scalar("Loss/train", meter.avg, epoch)
+        history.append(meter.avg)
+
+        if epoch % trainer_cfg.eval_freq == 0:
+            # EMA-weight sampling (train_pose_mini.py:365-386)
+            eval_bs = min(config.eval.batch_size, n)
+            key, sample_key = jax.random.split(key)
+
+            def model_fn(x, labels, cond, msk):
+                return model_apply_raw(
+                    ema_lib.params_of(state.ema), model_cfg, x, labels, cond, msk
+                )
+
+            from zedo_tpu.diffusion.score import get_score_fn
+
+            score_fn = get_score_fn(sde, model_fn, continuous=True)
+            results = eval_sampler.sample_loop(
+                score_fn, sample_key,
+                (eval_bs, model_cfg.n_joints, model_cfg.joint_dim),
+            )
+            results = np.asarray(results) / trainer_cfg.data_scale
+            np.save(os.path.join(output_dir, f"results_{epoch}.npy"), results)
+
+            ckpt_payload = {
+                "epoch": epoch + 1,
+                "params": state.params,
+                "ema": {
+                    "decay": state.ema.decay,
+                    "num_updates": state.ema.num_updates,
+                    "shadow_params": state.ema.shadow_params,
+                },
+                "opt_state": state.opt_state,
+                "step": state.step,
+            }
+            ckpt_lib.save_native(
+                os.path.join(output_dir, f"checkpoint_{epoch}"), ckpt_payload
+            )
+            log(f"Save checkpoint to {output_dir}")
+
+    return state, history

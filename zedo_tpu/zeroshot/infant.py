@@ -1,0 +1,175 @@
+"""ZeDO-i: the infant-pose variant of the zero-shot pipeline.
+
+Rebuild of run/opt_main_infant.py:250-340 with its deltas from the adult
+pipeline:
+  * pelvis = joint 0 (mini) or mean(joints 0, 3) (syrip)
+    (opt_main_infant.py:259-262);
+  * the OIL init pose is NOT the cluster pose — it is the back-projected
+    camera rays normalized by the pelvis-ray norm, scaled to ||T||, and
+    pelvis-centered (opt_main_infant.py:281-292); the cluster pose only
+    drives the IPO rotation fit;
+  * the translation stays fixed until step `refine_t_from` (hard-coded 950
+    in the reference, opt_main_infant.py:310-313), then is re-solved;
+  * confidences unused (conf=None).
+
+Reference bugs not replicated (SURVEY §6): the checked-in script crashes on
+`gradient_field_gen` return arity and resets its hypothesis accumulator per
+iteration; the evidently intended behavior is implemented.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from zedo_tpu.diffusion.sampling import PCSampler
+from zedo_tpu.diffusion.sde import SDE
+from zedo_tpu.models import score_mlp
+from zedo_tpu.ops.linalg import inv_intrinsics
+from zedo_tpu.zeroshot.ipo import run_ipo
+from zedo_tpu.zeroshot.oil import OILConfig, OILResult, run_oil
+from zedo_tpu.zeroshot.pipeline import SolveResult, ZeDOConfig
+
+_EXACT = jax.lax.Precision.HIGHEST
+
+# max-bone-length diagnostic skeleton (opt_main_infant.py:153-155)
+INFANT_SKELETON = [[0, 1], [1, 2], [3, 4], [4, 5], [6, 7], [7, 8], [9, 10], [10, 11]]
+
+
+def pelvis_2d(cond2d: jax.Array, pelvis_mode: str) -> jax.Array:
+    """[B, 2] pelvis pixel: joint 0, or mean of joints 0 and 3 (syrip 12-joint
+    convention) — opt_main_infant.py:259-262."""
+    if pelvis_mode == "joint0":
+        return cond2d[:, 0, :2]
+    if pelvis_mode == "mean03":
+        return (cond2d[:, 0, :2] + cond2d[:, 3, :2]) / 2
+    raise ValueError(pelvis_mode)
+
+
+def init_translation_infant(cond2d, k, t_norm, pelvis_mode: str) -> jax.Array:
+    pelvis = pelvis_2d(cond2d, pelvis_mode)
+    hom = jnp.concatenate([pelvis, jnp.ones_like(pelvis[:, :1])], axis=-1)
+    t = jnp.einsum("bij,bj->bi", inv_intrinsics(k), hom, precision=_EXACT)
+    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True) * t_norm
+    return t[:, None, :]
+
+
+def ray_init_pose(cond2d, k, t, pelvis_mode: str) -> jax.Array:
+    """Back-projected rays scaled to ||T||, pelvis-centered
+    (opt_main_infant.py:281-292). Note: rays are NOT z-normalized here — raw
+    K^-1 [u, v, 1], normalized by the pelvis-ray norm."""
+    hom = jnp.concatenate(
+        [cond2d[..., :2], jnp.ones_like(cond2d[..., :1])], axis=-1
+    )
+    ray = jnp.einsum("bij,bnj->bni", inv_intrinsics(k), hom, precision=_EXACT)
+    if pelvis_mode == "joint0":
+        pelvis_norm = jnp.linalg.norm(ray[:, 0:1, :], axis=-1, keepdims=True)
+    else:
+        pelvis_norm = jnp.linalg.norm(
+            (ray[:, 0:1, :] + ray[:, 3:4, :]) / 2, axis=-1, keepdims=True
+        )
+    ray = ray / pelvis_norm
+    ray = ray * jnp.linalg.norm(t, axis=-1, keepdims=True)
+    if pelvis_mode == "joint0":
+        return ray - ray[:, 0:1, :]
+    return ray - (ray[:, 0:1, :] + ray[:, 3:4, :]) / 2
+
+
+def max_bone_length(pose: jax.Array) -> jax.Array:
+    """Diagnostic: max skeleton bone length per sample
+    (opt_main_infant.py:316-320; computed-but-unused there)."""
+    lengths = jnp.stack(
+        [jnp.linalg.norm(pose[:, a] - pose[:, b], axis=-1) for a, b in INFANT_SKELETON]
+    )
+    return jnp.max(lengths, axis=0)
+
+
+def solve_one_hypothesis_infant(
+    params: dict,
+    model_apply,  # score_mlp.apply-compatible (control or plain)
+    model_cfg: score_mlp.ScoreMLPConfig,
+    sde: SDE,
+    sampler: PCSampler,
+    cfg: ZeDOConfig,
+    cluster_pose: jax.Array,  # [j, 3] (NOT root-centered — matches :252-253)
+    cond2d: jax.Array,
+    k: jax.Array,
+    pelvis_mode: str = "joint0",
+    refine_t_from: int = 950,
+    rng: Optional[jax.Array] = None,
+    precision=None,
+) -> OILResult:
+    n = cond2d.shape[0]
+    pose0 = jnp.broadcast_to(cluster_pose[None], (n,) + cluster_pose.shape)
+    t0 = init_translation_infant(cond2d, k, cfg.ipo.t_norm, pelvis_mode)
+
+    ipo = run_ipo(pose0, cond2d, k, cfg.ipo, t=t0)
+    x0 = ray_init_pose(cond2d, k, ipo.translation, pelvis_mode)
+    x0 = jnp.einsum("bij,bnj->bni", ipo.rot_mat, x0, precision=_EXACT)
+
+    oil_cfg = dataclasses.replace(cfg.oil, fixed_t_steps=refine_t_from)
+    if model_apply is score_mlp.apply or model_apply is None:
+        return run_oil(
+            params, model_cfg, sde, sampler, x0, ipo.translation,
+            cond2d, k, None, oil_cfg, rng=rng, precision=precision,
+        )
+    # custom model (ControlNet adapter): generic path over its apply fn
+    from zedo_tpu.diffusion.score import get_score_fn
+    from zedo_tpu.zeroshot.oil import (
+        precompute_geometry, ray_gradient, solve_translation_fast,
+    )
+
+    geo = precompute_geometry(cond2d, k, None)
+    timestamps = jnp.linspace(sde.T, oil_cfg.sampling_eps, oil_cfg.iterations)
+
+    def model_fn(x, labels, condition, mask):
+        return model_apply(params, model_cfg, x, labels, condition, mask,
+                           precision=precision)
+
+    score_fn = get_score_fn(sde, model_fn, continuous=sampler.continuous)
+    resolve = jnp.arange(oil_cfg.iterations) >= oil_cfg.n_fixed
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def body(carry, xs):
+        x, t_cur = carry
+        t_i, resolve_i, i = xs
+        t_new = solve_translation_fast(geo, x)
+        t_cur = jnp.where(resolve_i, t_new, t_cur)
+        grad = ray_gradient(geo, x, t_cur)
+        x = x + grad
+        _, x_mean = sampler.zedo_pc_step(score_fn, jax.random.fold_in(rng, i), x, t_i)
+        return (x_mean, t_cur), jnp.mean(jnp.linalg.norm(grad, axis=-1))
+
+    (x, t_final), grad_norms = jax.lax.scan(
+        body, (x0, ipo.translation),
+        (timestamps, resolve, jnp.arange(oil_cfg.iterations)),
+    )
+    return OILResult(pose=x, translation=t_final, grad_norms=grad_norms)
+
+
+def solve_infant(
+    params, model_apply, model_cfg, sde, sampler, cfg,
+    cluster_poses, cond2d, k,
+    pelvis_mode="joint0", refine_t_from=950, rng=None, precision=None,
+) -> SolveResult:
+    """All hypotheses; returns [N, S, j, 3]."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rngs = jax.random.split(rng, cluster_poses.shape[0])
+
+    def one(cluster_pose, hyp_rng):
+        return solve_one_hypothesis_infant(
+            params, model_apply, model_cfg, sde, sampler, cfg,
+            cluster_pose, cond2d, k,
+            pelvis_mode=pelvis_mode, refine_t_from=refine_t_from,
+            rng=hyp_rng, precision=precision,
+        )
+
+    result = jax.vmap(one)(cluster_poses, rngs)
+    return SolveResult(
+        poses=jnp.swapaxes(result.pose, 0, 1),
+        translations=jnp.swapaxes(result.translation, 0, 1),
+    )

@@ -168,6 +168,9 @@ def run_oil(
 def _run_oil_fast(
     params, model_cfg, sde: SubVPSDE, geo: Geometry, x0, t0, timestamps, cfg, precision
 ) -> OILResult:
+    # model compute dtype follows the params (bf16 weights -> bf16 MXU path);
+    # geometry stays in the x dtype (f32)
+    model_dtype = params["post_dense"]["weight"].dtype
     # per-step constants (all [steps])
     t = timestamps
     beta = sde.beta_min + t * (sde.beta_max - sde.beta_min)
@@ -194,8 +197,8 @@ def _run_oil_fast(
         grad = ray_gradient(geo, x, t_cur)
         x = x + grad
         out = score_mlp.apply_with_temb(
-            params, model_cfg, x, temb, precision=precision
-        )
+            params, model_cfg, x.astype(model_dtype), temb, precision=precision
+        ).astype(x.dtype)
         x = x + c1_i * x - c2_i * out
         return (x, t_cur), jnp.mean(jnp.linalg.norm(grad, axis=-1))
 
