@@ -1,0 +1,133 @@
+"""Prior sampling / completion / denoising CLI.
+
+Exposes the legacy GFPose-style task surface the reference documents in its
+dead sampler (lib/sampling.py:460-592 — pose generation `gen`, 3D estimation
+`est`, 2D/3D completion `comp2d`/`comp3d`, denoising `den`) as a working
+command over the full-loop scan sampler:
+
+    python -m zedo_tpu.run.sample --config configs/optim/..._h36m.py \
+        --ckpt_dir ... --ckpt_name ... --task gen --num 64 --save out.npy
+    ... --task comp3d --input poses.npy --jlist 14,15,16
+    ... --task den --input noisy.npy
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from absl import app, flags
+from absl.flags import argparse_flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+config_flags.DEFINE_config_file(
+    "config", None, "Training configuration.", lock_config=False)
+flags.mark_flags_as_required(["config"])
+
+
+def parse_args(argv):
+    parser = argparse_flags.ArgumentParser(description="sample the pose prior")
+    parser.add_argument("--ckpt_dir", type=str)
+    parser.add_argument("--ckpt_name", type=str)
+    parser.add_argument("--task", type=str, default="gen",
+                        choices=["gen", "den", "est", "comp2d", "comp3d"])
+    parser.add_argument("--num", type=int, default=64, help="samples (gen)")
+    parser.add_argument("--input", type=str, default=None,
+                        help="npy with [N, j, 3] inputs (den/est/comp*)")
+    parser.add_argument("--jlist", type=str, default=None,
+                        help="comma-separated joints to impute (comp*)")
+    parser.add_argument("--randj", type=int, default=None,
+                        help="random limb joints to impute (comp*)")
+    parser.add_argument("--sampler", type=str, default=None,
+                        choices=[None, "pc", "ode"], help="override config")
+    parser.add_argument("--warm_start_steps", type=int, default=0,
+                        help="legacy warm start (lib/sampling.py:564-567 used 50)")
+    parser.add_argument("--ema", action="store_true", default=False)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--save", type=str, default="samples.npy")
+    return parser.parse_args(argv[1:])
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from zedo_tpu.diffusion.ode import ODESampler
+    from zedo_tpu.diffusion.sampling import PCSampler, make_task_mask
+    from zedo_tpu.diffusion.score import get_score_fn
+    from zedo_tpu.diffusion.sde import build_sde
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.models.registry import make_mlp_config
+    from zedo_tpu.utils.checkpoint import load_torch_checkpoint, restore_native
+
+    config = FLAGS.config
+    n_joints = config.DATASET.get("NUM_JOINT", 17)
+    model_cfg = make_mlp_config(config, n_joints=n_joints)
+
+    ckpt_path = os.path.join(args.ckpt_dir, args.ckpt_name)
+    if ckpt_path.endswith(".pth"):
+        ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
+    else:
+        ckpt = restore_native(ckpt_path)
+    params = ckpt["ema_params"] if (args.ema and ckpt.get("ema_params")) else ckpt["params"]
+
+    sde = build_sde(
+        config.training.sde,
+        beta_min=config.model.beta_min, beta_max=config.model.beta_max,
+        sigma_min=config.model.sigma_min, sigma_max=config.model.sigma_max,
+        n=config.model.num_scales, t_max=1.0,  # full-range sampling
+    )
+
+    def model_fn(x, labels, condition, mask):
+        return score_mlp.apply(params, model_cfg, x, labels, condition, mask)
+
+    score_fn = get_score_fn(sde, model_fn, continuous=config.training.continuous)
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.input is not None:
+        data = np.load(args.input).astype(np.float32)
+        n = len(data)
+    else:
+        assert args.task == "gen", f"--input required for task {args.task}"
+        data = None
+        n = args.num
+    shape = (n, n_joints, 3)
+
+    method = args.sampler or config.sampling.method.lower()
+    if method == "ode":
+        sampler = ODESampler(sde=sde, shape=shape,
+                             denoise=config.sampling.noise_removal, eps=1e-3)
+        samples, nfe = sampler.sample(score_fn, rng)
+        print(f"ODE sampler finished, nfe={int(nfe)}")
+    else:
+        sampler = PCSampler(
+            sde=sde, predictor=config.sampling.predictor.lower(),
+            corrector=config.sampling.corrector.lower(), snr=config.sampling.snr,
+            n_steps=config.sampling.n_steps_each, probability_flow=False,
+            continuous=config.training.continuous,
+            denoise=config.sampling.noise_removal, eps=1e-3,
+        )
+        mask = None
+        condition = None
+        x_init = None
+        if args.task != "gen":
+            mask = jnp.asarray(
+                make_task_mask(args.task, shape, jlist=args.jlist,
+                               randj=args.randj, seed=args.seed)
+            )
+            condition = jnp.asarray(data)
+            if args.task == "den":
+                x_init = jnp.asarray(data)
+                mask = None
+        samples = sampler.sample_loop(
+            score_fn, rng, shape, condition=condition, mask=mask, x_init=x_init,
+            warm_start_steps=args.warm_start_steps,
+        )
+
+    samples = np.asarray(samples)
+    np.save(args.save, samples)
+    print(f"saved {samples.shape} samples to {args.save}")
+
+
+if __name__ == "__main__":
+    app.run(main, flags_parser=parse_args)
