@@ -51,7 +51,8 @@ def main():
     from zedo_tpu.zeroshot import pipeline
 
     n, s = 886, 50
-    dtype = "bf16" if "--bf16" in sys.argv else "fp32"
+    # default = the flagship config: bf16 weights + fused pallas score kernel
+    dtype = "fp32" if "--fp32" in sys.argv else "bf16"
     px, conf, k, clusters = build_inputs(n=n, s=s)
 
     cfg_m = score_mlp.ScoreMLPConfig()

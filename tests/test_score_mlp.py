@@ -84,7 +84,7 @@ def test_full_pth_checkpoint_roundtrip(tmp_path):
     with torch.no_grad():
         want = tm(torch.tensor(x), torch.tensor(t)).numpy()
     got = np.asarray(score_mlp.apply(out["params"], cfg, jnp.asarray(x), jnp.asarray(t)))
-    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
 
     # EMA params: every trainable leaf halved, buffers kept
     ema = out["ema_params"]

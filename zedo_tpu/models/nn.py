@@ -42,20 +42,54 @@ def init_group_norm(num_channels: int, dtype=jnp.float32) -> Params:
     }
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _group_indicator_np(c: int, g: int, dtype_name: str):
+    """[C, G] one-hot group membership / group size — the reduction matrix.
+    Cached as NUMPY (a cached jnp array would leak tracers across jit scopes);
+    jnp conversion at the call site is constant-folded by XLA."""
+    import numpy as np
+
+    m = np.zeros((c, g), dtype=dtype_name)
+    size = c // g
+    for i in range(g):
+        m[i * size : (i + 1) * size, i] = 1.0 / size
+    return m
+
+
+def _group_indicator(c: int, g: int, dtype_name: str):
+    return jnp.asarray(_group_indicator_np(c, g, dtype_name))
+
+
 def group_norm(p: Params, x: jax.Array, num_groups: int, eps: float = 1e-5) -> jax.Array:
     """GroupNorm over channel axis of [..., C] activations.
 
     torch.nn.GroupNorm semantics on 2D input [N, C]: normalize each group of
-    C/num_groups channels per sample (biased variance), then per-channel
-    affine. eps matches the torch default 1e-5.
+    C/num_groups contiguous channels per sample (biased variance), then
+    per-channel affine. eps matches the torch default 1e-5.
+
+    TPU note: the textbook reshape to [N, G, C/G] puts C/G (32) on the lane
+    axis — a relayout + 4x lane-padding on every call, which dominated the
+    OIL hot loop. Instead the group statistics are computed as MXU matmuls
+    against a constant [C, G] group-indicator matrix and broadcast back with
+    its transpose, keeping activations in their [N, C] layout throughout.
     """
     *batch, c = x.shape
     g = num_groups
-    xg = x.reshape(*batch, g, c // g)
-    mean = jnp.mean(xg, axis=-1, keepdims=True)
-    var = jnp.var(xg, axis=-1, keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xn = xg.reshape(*batch, c)
+    ind = _group_indicator(c, g, "float32")
+    bcast = ind.T * (c // g)  # [G, C] ones at group members
+    xf = x.astype(jnp.float32)
+    mean_g = jnp.matmul(xf, ind, precision=jax.lax.Precision.HIGHEST)  # [..., G]
+    mean_c = jnp.matmul(mean_g, bcast, precision=jax.lax.Precision.HIGHEST)
+    centered = xf - mean_c
+    # two-pass variance (E[(x-m)^2]): exact even for tiny groups, unlike
+    # E[x^2]-m^2 which cancels catastrophically
+    var_g = jnp.matmul(centered * centered, ind, precision=jax.lax.Precision.HIGHEST)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    rstd_c = jnp.matmul(rstd_g, bcast, precision=jax.lax.Precision.HIGHEST)
+    xn = (centered * rstd_c).astype(x.dtype)
     return xn * p["weight"] + p["bias"]
 
 

@@ -49,6 +49,10 @@ class OILConfig:
     # steps that keep the IPO translation before re-solving each step;
     # the reference uses iterations // 5 (opt_main.py:203)
     fixed_t_steps: Optional[int] = None
+    # None = auto: fused pallas score kernel when params are bf16, the
+    # backend is a TPU, and the architecture matches the kernel contract
+    use_pallas: Optional[bool] = None
+    pallas_tile: int = 256
 
     @property
     def n_fixed(self) -> int:
@@ -165,6 +169,18 @@ def run_oil(
     )
 
 
+def _pallas_eligible(params, model_cfg) -> bool:
+    """Kernel contract: 2 blocks, lane-aligned hidden, bf16 weights, TPU."""
+    import jax.numpy as jnp_
+
+    if model_cfg.n_blocks != 2 or model_cfg.hidden_dim % 128 != 0:
+        return False
+    if params["post_dense"]["weight"].dtype != jnp_.bfloat16:
+        return False
+    platform = jax.devices()[0].platform
+    return platform in ("tpu", "axon", "proxy")
+
+
 def _run_oil_fast(
     params, model_cfg, sde: SubVPSDE, geo: Geometry, x0, t0, timestamps, cfg, precision
 ) -> OILResult:
@@ -189,21 +205,55 @@ def _run_oil_fast(
 
     resolve = jnp.arange(cfg.iterations) >= cfg.n_fixed
 
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = _pallas_eligible(params, model_cfg)
+
+    if use_pallas:
+        from zedo_tpu.ops.pallas import score_kernel as sk
+
+        packed = sk.pack_weights(params, model_cfg, dtype=model_dtype)
+        # [steps, 5, H] per-step layer vectors, precomputed outside the scan
+        vecs_table = jax.vmap(lambda e: sk.step_vectors(packed, e))(temb_table)
+        io = model_cfg.n_joints * model_cfg.joint_dim
+        io_pad = ((io + sk.LANE - 1) // sk.LANE) * sk.LANE
+        b = x0.shape[0]
+        b_pad = ((b + cfg.pallas_tile - 1) // cfg.pallas_tile) * cfg.pallas_tile
+
+        def model_forward(x_flat, step_xs):
+            vecs = step_xs
+            x_in = jnp.pad(x_flat, ((0, b_pad - b), (0, io_pad - io)))
+            out = sk.fused_score_forward(x_in, packed, vecs, tile=cfg.pallas_tile)
+            return out[:b, :io]
+
+        step_tables = vecs_table
+    else:
+
+        def model_forward(x_flat, step_xs):
+            temb = step_xs
+            out = score_mlp.apply_with_temb(
+                params, model_cfg,
+                x_flat.reshape(x0.shape).astype(model_dtype), temb,
+                precision=precision,
+            ).astype(x_flat.dtype)
+            return out.reshape(x_flat.shape)
+
+        step_tables = temb_table
+
     def body(carry, xs):
         x, t_cur = carry
-        temb, c1_i, c2_i, resolve_i = xs
+        step_xs, c1_i, c2_i, resolve_i = xs
         t_new = solve_translation_fast(geo, x)
         t_cur = jnp.where(resolve_i, t_new, t_cur)
         grad = ray_gradient(geo, x, t_cur)
         x = x + grad
-        out = score_mlp.apply_with_temb(
-            params, model_cfg, x.astype(model_dtype), temb, precision=precision
-        ).astype(x.dtype)
+        out = model_forward(x.reshape(x.shape[0], -1), step_xs)
+        out = out.reshape(x.shape).astype(x.dtype)
         x = x + c1_i * x - c2_i * out
         return (x, t_cur), jnp.mean(jnp.linalg.norm(grad, axis=-1))
 
     (x, t_final), grad_norms = jax.lax.scan(
-        body, (x0, t0), (temb_table, c1, c2, resolve)
+        body, (x0, t0), (step_tables, c1, c2, resolve)
     )
     return OILResult(pose=x, translation=t_final, grad_norms=grad_norms)
 
