@@ -180,3 +180,34 @@ def test_sharded_train_step(rng):
         np.asarray(s2.params["post_dense"]["bias"]),
         atol=1e-6,
     )
+
+
+def test_trainer_resume(tmp_path, rng):
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.train import trainer
+
+    config = mini_cfg.get_config()
+    config.training.batch_size = 32
+    config.model.num_scales = 100
+
+    class FakeDS:
+        db_3d = rng.randn(64, 17, 3).astype(np.float32) * 0.1
+        db_2d = np.zeros((64, 17, 2), np.float32)
+
+    model_cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional", num_scales=100,
+    )
+    state1, _ = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "a"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=3, eval_freq=2, seed=0),
+    )
+    # resume from checkpoint_2 (saved at epoch 2 with epoch=3 recorded)
+    state2, history2 = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "b"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=5, eval_freq=10, seed=0),
+        restore_dir=str(tmp_path / "a" / "checkpoint_2"),
+    )
+    assert len(history2) == 2  # epochs 3, 4
+    assert int(state2.step) == int(state1.step) + 2 * 2

@@ -301,3 +301,20 @@ def test_mpii3dhp_reader_and_eval(tmp_path, rng):
     preds = gt[:, None].astype(np.float32) + 0.02
     e = ds.eval_multi(preds, protocol2=False, print_verbose=True)
     assert abs(e - 0.02 * np.sqrt(3)) < 1e-3
+
+
+def test_distributed_eval_sampler():
+    class DS:
+        def __len__(self):
+            return 10
+
+    ds = DS()
+    seen = []
+    for r in range(3):
+        s = sharding.DistributedEvalSampler(ds, num_replicas=3, rank=r)
+        seen += list(s)
+    assert sorted(seen) == list(range(10))  # pad-free, no duplicates
+    assert [len(sharding.DistributedEvalSampler(ds, 3, r)) for r in range(3)] == [4, 3, 3]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sharding.DistributedEvalSampler(ds, 3, 5)

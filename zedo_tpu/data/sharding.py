@@ -60,3 +60,38 @@ def unpad(array: np.ndarray, mask: np.ndarray, axis: int = 0) -> np.ndarray:
     """Strip the padded tail given the mask from `pad_batch`."""
     n = int(mask.sum())
     return np.take(array, np.arange(n), axis=axis)
+
+
+class DistributedEvalSampler:
+    """API-parity facade for the reference's pad-free eval sampler
+    (lib/dataset/EvaSampler.py:7-126): contiguous per-rank index chunks, no
+    duplicated samples, optional (pointless-for-eval but supported) shuffle.
+    Under GSPMD you usually want `pad_batch` instead; this exists for users
+    porting DataLoader-style eval loops."""
+
+    def __init__(self, dataset, num_replicas: int = 1, rank: int = 0,
+                 shuffle: bool = False, seed: int = 0):
+        if rank >= num_replicas or rank < 0:
+            raise ValueError(
+                f"Invalid rank {rank}, rank should be in [0, {num_replicas - 1}]"
+            )
+        self.dataset = dataset
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self._chunks = contiguous_chunks(len(dataset), num_replicas)
+
+    def __iter__(self):
+        indices = self._chunks[self.rank]
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            indices = rng.permutation(indices)
+        return iter(indices.tolist())
+
+    def __len__(self):
+        return len(self._chunks[self.rank])
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch

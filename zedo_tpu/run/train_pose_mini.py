@@ -100,6 +100,7 @@ def main(args):
         data_scale=config.training.data_scale,
         seed=config.seed,
     )
+    restore = getattr(args, "restore_dir", None)
     try:
         trainer.train_loop(
             config, dataset,
@@ -107,6 +108,7 @@ def main(args):
             model_cfg=model_cfg,
             trainer_cfg=tcfg,
             fine_tune_params=fine_tune_params,
+            restore_dir=restore if isinstance(restore, str) and restore else None,
             writer=writer,
             logger=logger,
         )

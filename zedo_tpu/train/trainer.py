@@ -109,6 +109,7 @@ def train_loop(
     model_cfg: Optional[score_mlp.ScoreMLPConfig] = None,
     trainer_cfg: TrainerConfig = TrainerConfig(),
     fine_tune_params: Optional[dict] = None,
+    restore_dir: Optional[str] = None,
     writer=None,
     logger=None,
     mesh=None,
@@ -136,6 +137,38 @@ def train_loop(
 
     optimizer = losses_lib.get_optimizer(config)
     state = losses_lib.init_train_state(params, optimizer, config.model.ema_rate)
+
+    start_epoch = 0
+    if restore_dir:
+        # full resume from a native checkpoint (the reference parses
+        # --restore-dir but never uses it, train_pose_mini.py:154,292-293;
+        # functional here). Restore against a template built from the fresh
+        # state so orbax reproduces the exact pytree structure (optax chains
+        # are nested NamedTuples).
+        template = {
+            "epoch": 0,
+            "params": state.params,
+            "ema": {
+                "decay": state.ema.decay,
+                "num_updates": state.ema.num_updates,
+                "shadow_params": state.ema.shadow_params,
+            },
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = ckpt_lib.restore_native(restore_dir, item=template)
+        state = losses_lib.TrainState(
+            step=jnp.asarray(restored["step"]),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            ema=ema_lib.EMAState(
+                decay=jnp.asarray(restored["ema"]["decay"]),
+                num_updates=jnp.asarray(restored["ema"]["num_updates"]),
+                shadow_params=restored["ema"]["shadow_params"],
+            ),
+        )
+        start_epoch = int(restored["epoch"])
+        log(f"resumed from {restore_dir} at epoch {start_epoch}, step {int(state.step)}")
 
     sde = build_sde(
         config.training.sde,
@@ -175,7 +208,7 @@ def train_loop(
     rng_np = np.random.RandomState(trainer_cfg.seed)
 
     history = []
-    for epoch in range(trainer_cfg.n_epochs):
+    for epoch in range(start_epoch, trainer_cfg.n_epochs):
         perm = rng_np.permutation(n)
         meter = AverageMeter()
         for i in range(steps_per_epoch):
