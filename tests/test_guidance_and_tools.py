@@ -1,0 +1,76 @@
+"""Guidance gradients, ddpm params, and checkpoint conversion CLI roundtrip."""
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from tests.torch_mirror import TorchScoreMLP
+from zedo_tpu.diffusion import guidance
+from zedo_tpu.diffusion.sde import get_ddpm_params
+
+
+def test_match_grad(rng):
+    x = jnp.asarray(rng.randn(4, 17, 3).astype(np.float32))
+    cond = jnp.asarray(rng.randn(4, 17, 2).astype(np.float32))
+    g = guidance.get_match_grad_fn(weight=2.0)(x, None, cond)
+    assert g.shape == x.shape
+    assert float(jnp.sum(jnp.abs(g[..., 2]))) == 0.0  # z untouched
+    # analytic check on one element: d||v||/dv = v/||v||
+    v = np.asarray(x[..., :2] - cond)
+    want = 2.0 * v / np.linalg.norm(v, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(g[..., :2]), want, rtol=1e-5)
+
+
+def test_symmetry_loss_ordering(rng):
+    # all joints coincident: every limb length 0 -> perfectly "symmetric"
+    x = np.zeros((2, 17, 3), np.float32)
+    assert float(guidance.symmetry_loss(jnp.asarray(x))) == 0.0
+    x2 = x.copy()
+    x2[:, 16] += 5.0  # stretch one right-arm limb only
+    asym = float(guidance.symmetry_loss(jnp.asarray(x2)))
+    assert asym > 0
+    g = guidance.get_sym_gradient_fn()(jnp.asarray(x2), None)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+    # reference-parity factory returns the scalar loss (sampling.py:395)
+    val = guidance.get_sym_grad_fn(weight=3.0)(jnp.asarray(x2), None)
+    np.testing.assert_allclose(float(val), asym * 3.0, rtol=1e-6)
+
+
+def test_ddpm_params():
+    p = get_ddpm_params()
+    assert p["betas"].shape == (1000,)
+    np.testing.assert_allclose(float(p["betas"][0]), 0.1 / 1000, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p["sqrt_alphas_cumprod"]) ** 2
+        + np.asarray(p["sqrt_1m_alphas_cumprod"]) ** 2,
+        1.0, rtol=1e-5,
+    )
+
+
+def test_convert_checkpoint_roundtrip(tmp_path):
+    tm = TorchScoreMLP(n_joints=4, joint_dim=3, hidden=64, embed=32, n_blocks=2)
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    shadow = [p.detach().clone() * 0.5 for p in tm.parameters() if p.requires_grad]
+    src = tmp_path / "ref.pth"
+    torch.save({"epoch": 3, "model_state_dict": sd, "optimizer_state_dict": None,
+                "ema": {"decay": 0.9999, "num_updates": 5, "shadow_params": shadow},
+                "step": 77}, src)
+    import tools.convert_checkpoint as cc
+
+    cc.pth2native(str(src), str(tmp_path / "native"), n_joints=4)
+    # native2pth needs matching cfg dims; our helper assumes full-size hidden.
+    # Roundtrip through the same cfg:
+    from zedo_tpu.models.score_mlp import ScoreMLPConfig
+    from zedo_tpu.utils.checkpoint import load_torch_checkpoint, restore_native
+
+    cfg = ScoreMLPConfig(n_joints=4, joint_dim=3, hidden_dim=64, embed_dim=32)
+    native = restore_native(str(tmp_path / "native"))
+    orig = load_torch_checkpoint(str(src), cfg)
+    np.testing.assert_allclose(
+        np.asarray(native["params"]["pre_dense"]["weight"]),
+        np.asarray(orig["params"]["pre_dense"]["weight"]), atol=0,
+    )
+    assert int(np.asarray(native["step"])) == 77

@@ -252,6 +252,27 @@ class VESDE(SDE):
         return f, g
 
 
+def get_ddpm_params(beta_min=0.1, beta_max=20.0, num_scales=1000):
+    """Discrete DDPM schedule dict (reference utils.py:669-691)."""
+    num_diffusion_timesteps = 1000
+    beta_start = beta_min / num_scales
+    beta_end = beta_max / num_scales
+    betas = jnp.linspace(beta_start, beta_end, num_diffusion_timesteps,
+                         dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    alphas = 1.0 - betas
+    alphas_cumprod = jnp.cumprod(alphas)
+    return {
+        "betas": betas,
+        "alphas": alphas,
+        "alphas_cumprod": alphas_cumprod,
+        "sqrt_alphas_cumprod": jnp.sqrt(alphas_cumprod),
+        "sqrt_1m_alphas_cumprod": jnp.sqrt(1.0 - alphas_cumprod),
+        "beta_min": beta_start * (num_diffusion_timesteps - 1),
+        "beta_max": beta_end * (num_diffusion_timesteps - 1),
+        "num_diffusion_timesteps": num_diffusion_timesteps,
+    }
+
+
 def build_sde(name: str, *, beta_min=0.1, beta_max=20.0, sigma_min=0.01,
               sigma_max=50.0, n=1000, t_max=1.0) -> SDE:
     """Factory matching the entry points' config dispatch (opt_main.py:143-153)."""
