@@ -32,7 +32,9 @@ def test_symmetry_loss_ordering(rng):
     x2[:, 16] += 5.0  # stretch one right-arm limb only
     asym = float(guidance.symmetry_loss(jnp.asarray(x2)))
     assert asym > 0
-    g = guidance.get_sym_gradient_fn()(jnp.asarray(x2), None)
+    # gradient needs nonzero limb lengths (norm has no gradient at 0)
+    x3 = jnp.asarray(rng.randn(2, 17, 3).astype(np.float32))
+    g = guidance.get_sym_gradient_fn()(x3, None)
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
     # reference-parity factory returns the scalar loss (sampling.py:395)
     val = guidance.get_sym_grad_fn(weight=3.0)(jnp.asarray(x2), None)
