@@ -76,3 +76,41 @@ def test_convert_checkpoint_roundtrip(tmp_path):
         np.asarray(orig["params"]["pre_dense"]["weight"]), atol=0,
     )
     assert int(np.asarray(native["step"])) == 77
+
+
+def test_apply_overrides():
+    import configs.optim.concat_pose_optimization_h36m as m
+    from zedo_tpu.utils.config import apply_overrides
+
+    c = m.get_config()
+    apply_overrides(c, ["ZeDO.OIL_iterations=77", "training.sde=vpsde",
+                        "ZeDO.IPO_keylist=[0,2]"])
+    assert c.ZeDO.OIL_iterations == 77
+    assert c.training.sde == "vpsde"
+    assert list(c.ZeDO.IPO_keylist) == [0, 2]
+    import pytest as _p
+    with _p.raises(KeyError):
+        apply_overrides(c, ["ZeDO.nope=1"])
+    with _p.raises(ValueError):
+        apply_overrides(c, ["ZeDO.OIL_iterations"])
+
+
+def test_find_closest(rng):
+    import jax.numpy as jnp
+    from zedo_tpu.zeroshot.infant import find_closest
+
+    dataset = jnp.asarray(rng.randn(20, 17, 3).astype(np.float32))
+    target = dataset[7] + 0.001
+    got = find_closest(target, dataset)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(dataset[7]))
+
+
+def test_flattened_numpy_helpers(rng):
+    import jax.numpy as jnp
+    from zedo_tpu.utils.checkpoint import from_flattened_numpy, to_flattened_numpy
+
+    x = jnp.asarray(rng.randn(4, 17, 3).astype(np.float32))
+    flat = to_flattened_numpy(x)
+    assert flat.shape == (4 * 17 * 3,)
+    back = from_flattened_numpy(flat, (4, 17, 3))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

@@ -93,6 +93,24 @@ class H36MDataset3D(PoseDataset):
             evaluation.print_action_table("H36M", protocol2, report.per_action, report.error)
         return report.error
 
+    def dataset_eval(self, preds, dataset, protocol2=True, print_verbose=False,
+                     sample_interval=None):
+        """Action-wise eval against another dataset's gt items
+        (h36m.py:322-363; used by training eval over concat datasets)."""
+        print("eval...")
+        if sample_interval is not None:
+            preds = preds[::sample_interval]
+        gt_items = dataset.gt_dataset
+        assert len(preds) == len(gt_items)
+        gt = np.array([i["joint_3d_camera"] for i in gt_items], dtype=np.float64)
+        gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
+        actions = np.array([i["action"] for i in gt_items])
+        report = evaluation.single_eval(
+            np.asarray(preds), gt, protocol2=protocol2,
+            actions=actions, action_order=list(range(2, 17)),
+        )
+        return report.error
+
     def eval_multi(self, preds, protocol2=False, print_verbose=False,
                    sample_interval=None, valid_ind=None):
         """Action-wise (PA-)MPJPE, min over hypotheses (h36m.py:365-442)."""

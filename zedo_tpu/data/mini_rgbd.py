@@ -115,6 +115,12 @@ class mini_rgbd(PoseDataset):  # noqa: N801 — reference class name
             return data_2d, data_3d, k, np.array([0, 1])
         return data_2d, data_3d, k
 
+    def save_action(self, action):
+        """Attach per-sample action labels (mini_rgbd.py:208-212)."""
+        self.action = action
+        assert len(self.db_3d) == len(self.action)
+        return self.action
+
     def eval_multi(self, preds, protocol2=False, print_verbose=False,
                    sample_interval=None, valid_ind=None, sample=None, mask_tok=None):
         """Mean MPJPE with the reference's 12->7 joint slice for j=12

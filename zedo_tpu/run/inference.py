@@ -29,11 +29,16 @@ def parse_args(argv):
     parser.add_argument("--cluster_dir", type=str, default="clusters")
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--strict_batch", action="store_true", default=False)
+    parser.add_argument("--override", action="append", default=[],
+                        help="config override, e.g. --override ZeDO.OIL_iterations=500")
     return parser.parse_args(argv[1:])
 
 
 def main(args):
     config = FLAGS.config
+    from zedo_tpu.utils.config import apply_overrides
+
+    apply_overrides(config, getattr(args, "override", []))
     dataset = build_dataset(config, args)
     batch_results = run_pipeline(config, args, dataset)
     np.save(args.save, batch_results)

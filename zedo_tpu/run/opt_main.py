@@ -59,6 +59,8 @@ def parse_args(argv):
     parser.add_argument("--strict_batch", action="store_true", default=False,
                         help="enforce config.ZeDO.batch == len(dataset) "
                              "(reference asserts, opt_main.py:162)")
+    parser.add_argument("--override", action="append", default=[],
+                        help="config override, e.g. --override ZeDO.OIL_iterations=500")
     return parser.parse_args(argv[1:])
 
 
@@ -172,6 +174,9 @@ def run_pipeline(config, args, dataset, logger_print=print):
 
 def main(args):
     config = FLAGS.config
+    from zedo_tpu.utils.config import apply_overrides
+
+    apply_overrides(config, getattr(args, "override", []))
     dataset = build_dataset(config, args)
     batch_results = run_pipeline(config, args, dataset)
     if args.save:

@@ -40,6 +40,8 @@ def parse_args(argv):
     parser.add_argument("--cluster_path", type=str, default=None,
                         help="cluster npy (default mini_cluster_{hypo}.npy)")
     parser.add_argument("--save", type=str, default=None)
+    parser.add_argument("--override", action="append", default=[],
+                        help="config override, e.g. --override ZeDO.OIL_iterations=500")
     return parser.parse_args(argv[1:])
 
 
@@ -74,6 +76,9 @@ def main(args):
     from zedo_tpu.zeroshot import infant, pipeline
 
     config = FLAGS.config
+    from zedo_tpu.utils.config import apply_overrides
+
+    apply_overrides(config, getattr(args, "override", []))
     n_joints = config.DATASET.NUM_JOINT
     train_dataset, test_dataset = get_datasets(config)
 

@@ -45,6 +45,8 @@ def parse_args(argv):
     parser.add_argument("--ema", action="store_true", default=False)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save", type=str, default="samples.npy")
+    parser.add_argument("--override", action="append", default=[],
+                        help="config override, e.g. --override model.num_scales=500")
     return parser.parse_args(argv[1:])
 
 
@@ -61,6 +63,9 @@ def main(args):
     from zedo_tpu.utils.checkpoint import load_torch_checkpoint, restore_native
 
     config = FLAGS.config
+    from zedo_tpu.utils.config import apply_overrides
+
+    apply_overrides(config, getattr(args, "override", []))
     n_joints = config.DATASET.get("NUM_JOINT", 17)
     model_cfg = make_mlp_config(config, n_joints=n_joints)
 

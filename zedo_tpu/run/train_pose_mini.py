@@ -33,6 +33,8 @@ def parse_args(argv):
     parser.add_argument("--aug", default=False, action="store_true")
     parser.add_argument("--scaled", default=False, action="store_true")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--override", action="append", default=[],
+                        help="config override, e.g. --override training.batch_size=256")
     return parser.parse_args(argv[1:])
 
 
@@ -64,6 +66,9 @@ def build_train_dataset(config, args):
 
 def main(args):
     config = FLAGS.config
+    from zedo_tpu.utils.config import apply_overrides
+
+    apply_overrides(config, getattr(args, "override", []))
     from zedo_tpu.models.registry import make_mlp_config
     from zedo_tpu.train import trainer
     from zedo_tpu.utils.checkpoint import load_torch_checkpoint, restore_native

@@ -147,6 +147,16 @@ def convert_cluster_file(path: str) -> np.ndarray:
         return np.asarray(pickle.load(f))
 
 
+def to_flattened_numpy(x) -> np.ndarray:
+    """Flatten a device array to 1-D numpy (reference utils.py:803-805)."""
+    return np.asarray(x).reshape((-1,))
+
+
+def from_flattened_numpy(x: np.ndarray, shape) -> jnp.ndarray:
+    """1-D numpy -> device array of `shape` (reference utils.py:808-810)."""
+    return jnp.asarray(np.asarray(x).reshape(shape))
+
+
 # ------------------------------------------------------------------ orbax
 def save_native(path: str, payload: dict) -> None:
     """Save {step, params, ema, opt_state, ...} with orbax (atomic)."""

@@ -38,6 +38,13 @@ _EXACT = jax.lax.Precision.HIGHEST
 INFANT_SKELETON = [[0, 1], [1, 2], [3, 4], [4, 5], [6, 7], [7, 8], [9, 10], [10, 11]]
 
 
+def find_closest(data: jax.Array, dataset: jax.Array) -> jax.Array:
+    """Nearest training pose by summed per-joint distance
+    (opt_main_infant.py:56-62) — cluster-selection helper."""
+    dist = jnp.sum(jnp.linalg.norm(dataset - data[None], axis=-1), axis=-1)
+    return dataset[jnp.argmin(dist)]
+
+
 def pelvis_2d(cond2d: jax.Array, pelvis_mode: str) -> jax.Array:
     """[B, 2] pelvis pixel: joint 0, or mean of joints 0 and 3 (syrip 12-joint
     convention) — opt_main_infant.py:259-262."""
