@@ -318,3 +318,48 @@ def test_distributed_eval_sampler():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sharding.DistributedEvalSampler(ds, 3, 5)
+
+
+def test_syrip_reader_and_eval(tmp_path, rng):
+    import os
+
+    root = tmp_path / "syrip"
+    os.makedirs(root / "SyRIP_3d_pred")
+    os.makedirs(root / "SyRIP_3d_correction")
+    n = 6
+    names = np.array([f"path/to/img{i:03d}.jpg" for i in range(n)])
+    np.save(root / "SyRIP_3d_pred" / "output_imgnames.npy", names)
+    np.save(root / "SyRIP_3d_correction" / "correct_3D.npy",
+            rng.randn(n, 14, 3).astype(np.float32))  # 12 used + 2 dropped
+    # name maps: first 4 train, last 2 test
+    train_map = {f"img{i:03d}.jpg": [f"img{i:03d}.jpg", i] for i in range(4)}
+    test_map = {f"img{i:03d}.jpg": [f"img{i:03d}.jpg", i] for i in range(4, 6)}
+    np.save(root / "train_rysip.npy", train_map)
+    np.save(root / "test_rysip.npy", test_map)
+    pose2d = {
+        f"img{i:03d}.jpg": {
+            "h": 480, "w": 640, "bbox": [0, 0, 10, 10],
+            "keypoints": rng.rand(17, 3).astype(np.float32) * 400,
+        }
+        for i in range(n)
+    }
+    np.save(root / "train_pose2d.npy", {k: pose2d[k] for k in list(pose2d)[:4]})
+    np.save(root / "test_pose2d.npy", {k: pose2d[k] for k in list(pose2d)[4:]})
+
+    ds = syrip(subset="train", num_joint=12, data_root=str(root))
+    assert ds.db_3d.shape == (4, 12, 3)
+    assert ds.db_2d.shape == (4, 12, 3)
+    assert ds.K.shape == (4, 3, 3)
+    assert ds.K[0, 0, 0] == 2000 and ds.K[0, 0, 2] == 320  # f=2000, cx=w/2
+    # 12-joint pelvis centering: mean of joints 0 and 3 is ~0
+    pelvis = (ds.db_3d[:, 0] + ds.db_3d[:, 3]) / 2
+    np.testing.assert_allclose(pelvis, 0, atol=1e-6)
+    d2, d3, k = ds[0]
+    assert d2.shape == (12, 2) and k.sum() == 0  # zero K (syrip.py:151)
+
+    preds = ds.db_3d[:, None] + 0.01
+    e = ds.eval_multi(preds)
+    assert abs(e - 0.01 * np.sqrt(3)) < 1e-4
+
+    ds_test = syrip(subset="validate", num_joint=12, data_root=str(root))
+    assert ds_test.db_3d.shape == (2, 12, 3)

@@ -50,17 +50,11 @@ def build_train_dataset(config, args):
     if name == "syrip":
         return syrip("train", num_joint=nj, **kwargs)
     if name in ("syrip_concat", "concate"):
-        import numpy as np
+        from zedo_tpu.data.concat import ConcatDataset
 
         a = mini_rgbd("train", num_joint=nj, **kwargs)
         b = syrip("train", num_joint=nj, **kwargs)
-
-        class _Concat:
-            db_3d = np.concatenate([a.db_3d, b.db_3d], axis=0)
-            db_2d = np.concatenate(
-                [np.zeros_like(a.db_3d), np.zeros_like(b.db_3d)], axis=0
-            )
-        return _Concat()
+        return ConcatDataset([a, b])
     raise ValueError(name)
 
 
