@@ -322,3 +322,33 @@ def test_solve_sharded_matches_single_device(rng):
     np.testing.assert_allclose(
         np.asarray(single.poses), np.asarray(sharded.poses), atol=1e-5, rtol=1e-5
     )
+
+
+def test_oil_score_reuse(rng):
+    """score_reuse=1 is exact; k=2 halves NFE and stays close on a smooth
+    score field."""
+    import dataclasses
+
+    k, pose, t_true, px = _scene(rng, n=4)
+    cfg_m, _, params = _tiny_model_and_params()
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=True, denoise=True, eps=0.01)
+    x0 = (pose + 0.05).astype(np.float32)
+    base_cfg = oil_lib.OILConfig(iterations=24, sampling_eps=0.01, fixed_t_steps=8)
+
+    res1 = oil_lib.run_oil(params, cfg_m, sde, sampler, jnp.asarray(x0),
+                           jnp.asarray(t_true), jnp.asarray(px), jnp.asarray(k),
+                           None, base_cfg)
+    res1b = oil_lib.run_oil(params, cfg_m, sde, sampler, jnp.asarray(x0),
+                            jnp.asarray(t_true), jnp.asarray(px), jnp.asarray(k),
+                            None, dataclasses.replace(base_cfg, score_reuse=1))
+    np.testing.assert_array_equal(np.asarray(res1.pose), np.asarray(res1b.pose))
+
+    res2 = oil_lib.run_oil(params, cfg_m, sde, sampler, jnp.asarray(x0),
+                           jnp.asarray(t_true), jnp.asarray(px), jnp.asarray(k),
+                           None, dataclasses.replace(base_cfg, score_reuse=2))
+    d = np.abs(np.asarray(res2.pose) - np.asarray(res1.pose))
+    assert np.isfinite(d).all()
+    assert d.mean() < 0.05  # close but not identical
+    assert d.max() > 0
