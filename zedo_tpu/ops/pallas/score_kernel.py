@@ -47,13 +47,12 @@ class PackedScoreWeights(NamedTuple):
     w_pre: jax.Array  # [io_pad, H]
     w_b: tuple  # 4x [H, H]: (b1_d1, b1_d2, b2_d1, b2_d2)
     w_post: jax.Array  # [H, io_pad]
-    gn_scale: jax.Array  # [5, H] (pre, b1g1, b1g2, b2g1, b2g2)
     gn_bias: jax.Array  # [5, H]
     bias_post: jax.Array  # [io_pad]
     t_proj_w: jax.Array  # [5, E, H] time-projection weights (for vec precompute)
     t_proj_b: jax.Array  # [5, H] dense biases folded into the per-step vectors
     ind: jax.Array  # [H, LANE] group indicator (G columns used) / group_size
-    bcast: jax.Array  # [LANE, H] transpose indicator (ones at members)
+    bcast_scaled: jax.Array  # [5, LANE, H] GN scale at group-member positions
 
 
 def _pad_to(x: np.ndarray, rows: int | None = None, cols: int | None = None):
@@ -121,15 +120,16 @@ def pack_weights(params: dict, cfg, dtype=jnp.bfloat16) -> PackedScoreWeights:
     bcast = np.zeros((LANE, h), np.float32)
     for i in range(g):
         bcast[i, i * size : (i + 1) * size] = 1.0
+    # per-GN broadcast matrices with the channel scale folded in
+    bcast_scaled = jnp.asarray(bcast)[None, :, :] * gn_scale[:, None, :]
 
     as_dt = lambda a: jnp.asarray(a, dtype)
     return PackedScoreWeights(
         w_pre=as_dt(w_pre), w_b=tuple(as_dt(w) for w in w_b), w_post=as_dt(w_post),
-        gn_scale=gn_scale,
         gn_bias=gn_bias,
         bias_post=bias_post,
         t_proj_w=as_dt(t_proj_w), t_proj_b=t_proj_b,
-        ind=as_dt(ind), bcast=jnp.asarray(bcast, dtype),
+        ind=as_dt(ind), bcast_scaled=bcast_scaled.astype(jnp.float32),
     )
 
 
@@ -143,22 +143,24 @@ def step_vectors(packed: PackedScoreWeights, temb: jax.Array) -> jax.Array:
     return proj + packed.t_proj_b  # [5, H] f32
 
 
-def _gn_silu(centered_f32, ind, bcast, scale, bias, eps=1e-5):
+def _gn_silu(centered_f32, ind, bcast_scaled, bias, eps=1e-5):
     """GroupNorm + SiLU on a VMEM-resident [T, H] f32 tile.
 
     Inputs are already group-mean-free (weights pre-centered by (I-P) in
     pack_weights), so only the variance reduction runs here: one stats
-    matmul + one broadcast matmul on the MXU."""
+    matmul + one broadcast matmul on the MXU. The per-channel GN scale is
+    folded into the broadcast matrix (bcast_scaled[g, c] = gn_scale[c] at
+    group members), saving a VPU pass per GN."""
     var_g = jnp.dot(centered_f32 * centered_f32, ind.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
-    rstd_c = jnp.dot(jax.lax.rsqrt(var_g + eps), bcast.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    xn = centered_f32 * rstd_c * scale + bias
+    rstd_scale_c = jnp.dot(jax.lax.rsqrt(var_g + eps), bcast_scaled,
+                           preferred_element_type=jnp.float32)
+    xn = centered_f32 * rstd_scale_c + bias
     return xn * jax.nn.sigmoid(xn)  # SiLU
 
 
 def _kernel(x_ref, wpre_ref, wb1_ref, wb2_ref, wb3_ref, wb4_ref, wpost_ref,
-            vecs_ref, gnscale_ref, gnbias_ref, biaspost_ref, ind_ref, bcast_ref,
+            vecs_ref, gnbias_ref, biaspost_ref, ind_ref, bcastsc_ref,
             out_ref):
     compute_dt = wpre_ref.dtype
     x = x_ref[:].astype(compute_dt)
@@ -168,21 +170,20 @@ def _kernel(x_ref, wpre_ref, wb1_ref, wb2_ref, wb3_ref, wb4_ref, wpost_ref,
         return acc + vecs_ref[vec_row, :][None, :]
 
     ind = ind_ref[:]
-    bcast = bcast_ref[:]
 
     h = dense(x, wpre_ref, 0)
-    h = _gn_silu(h, ind, bcast, gnscale_ref[0, :][None], gnbias_ref[0, :][None])
+    h = _gn_silu(h, ind, bcastsc_ref[0], gnbias_ref[0, :][None])
 
     h1 = dense(h.astype(compute_dt), wb1_ref, 1)
-    h1 = _gn_silu(h1, ind, bcast, gnscale_ref[1, :][None], gnbias_ref[1, :][None])
+    h1 = _gn_silu(h1, ind, bcastsc_ref[1], gnbias_ref[1, :][None])
     h2 = dense(h1.astype(compute_dt), wb2_ref, 2)
-    h2 = _gn_silu(h2, ind, bcast, gnscale_ref[2, :][None], gnbias_ref[2, :][None])
+    h2 = _gn_silu(h2, ind, bcastsc_ref[2], gnbias_ref[2, :][None])
     h = h + h2
 
     h1 = dense(h.astype(compute_dt), wb3_ref, 3)
-    h1 = _gn_silu(h1, ind, bcast, gnscale_ref[3, :][None], gnbias_ref[3, :][None])
+    h1 = _gn_silu(h1, ind, bcastsc_ref[3], gnbias_ref[3, :][None])
     h2 = dense(h1.astype(compute_dt), wb4_ref, 4)
-    h2 = _gn_silu(h2, ind, bcast, gnscale_ref[4, :][None], gnbias_ref[4, :][None])
+    h2 = _gn_silu(h2, ind, bcastsc_ref[4], gnbias_ref[4, :][None])
     h = h + h2
 
     out = jnp.dot(h.astype(compute_dt), wpost_ref[:], preferred_element_type=jnp.float32)
@@ -216,9 +217,9 @@ def fused_score_forward(
             full((io_pad, h)),
             full((h, h)), full((h, h)), full((h, h)), full((h, h)),
             full((h, io_pad)),
-            full((5, h)), full((5, h)), full((5, h)),
+            full((5, h)), full((5, h)),
             full((io_pad,)),
-            full((h, LANE)), full((LANE, h)),
+            full((h, LANE)), full((5, LANE, h)),
         ],
         out_specs=pl.BlockSpec((tile, io_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -231,8 +232,8 @@ def fused_score_forward(
         ),
     )(
         x_pad, packed.w_pre, *packed.w_b, packed.w_post,
-        vecs, packed.gn_scale, packed.gn_bias, packed.bias_post,
-        packed.ind, packed.bcast,
+        vecs, packed.gn_bias, packed.bias_post,
+        packed.ind, packed.bcast_scaled,
     )
 
 

@@ -114,8 +114,14 @@ def load_torch_checkpoint(path: str, cfg: ScoreMLPConfig) -> dict:
     ema_params = None
     if "ema" in ckpt and ckpt["ema"] is not None:
         shadow = [p.numpy() for p in ckpt["ema"]["shadow_params"]]
-        ema_tree = ema_shadow_to_params(shadow, cfg)
-        ema_params = _merge(params, ema_tree)
+        try:
+            ema_tree = ema_shadow_to_params(shadow, cfg)
+            ema_params = _merge(params, ema_tree)
+        except ValueError as e:
+            # non-ScoreMLP trainable sets (e.g. ControlNet adapters track only
+            # copy/zc/infant_cond params) have a different shadow order; the
+            # reference never applies EMA at inference anyway (opt_main.py:135)
+            print(f"note: EMA shadow list not mapped ({e}); --ema unavailable")
     return {
         "params": params,
         "ema_params": ema_params,
