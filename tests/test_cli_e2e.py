@@ -211,3 +211,53 @@ def test_trainer_resume(tmp_path, rng):
     )
     assert len(history2) == 2  # epochs 3, 4
     assert int(state2.step) == int(state1.step) + 2 * 2
+
+
+def test_infant_cli_end_to_end(tmp_path, rng, monkeypatch):
+    """Drive run.opt_main_infant.main with a mini-rgbd fixture + control."""
+    import types as _types
+
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.run import opt_main_infant
+
+    # data/mini-rgbd fixture in cwd (the reference hardcodes relative paths)
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("data/mini-rgbd")
+    d = {"train": {}, "validate": {}}
+    for split, seq, count in [("train", "01", 6), ("validate", "11", 5)]:
+        for i in range(count):
+            pose3 = rng.randn(25, 3).astype(np.float32) * 0.1
+            pose3[:, 2] += 0.0
+            d[split][f"{seq}_f{i}.txt"] = {
+                "pose_2d": rng.rand(25, 2).astype(np.float32) * 400 + 100,
+                "pose_3d": pose3,
+            }
+    np.save("data/mini-rgbd/MINI-RGBD.npy", d)
+    np.save("mini_cluster_1.npy", rng.randn(1, 25, 3).astype(np.float32) * 0.1)
+
+    os.makedirs("checkpoint")
+    tm = TorchScoreMLP(n_joints=17)
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    shadow = [p.detach().clone() for p in tm.parameters() if p.requires_grad]
+    torch.save({"epoch": 1, "model_state_dict": sd, "optimizer_state_dict": None,
+                "ema": {"decay": 0.9999, "num_updates": 1, "shadow_params": shadow},
+                "step": 1}, "checkpoint/infant.pth")
+
+    import zedo_tpu.run.opt_main_infant as infant_cli
+    config = mini_cfg.get_config()
+    config.ZeDO.OIL_iterations = 20
+    config.ZeDO.IPO_iterations = 20
+
+    class _FakeFlags:
+        pass
+
+    monkeypatch.setattr(infant_cli, "FLAGS", _types.SimpleNamespace(config=config))
+    args = _types.SimpleNamespace(
+        ckpt_dir="checkpoint", ckpt_name="infant.pth", gt=True, hypo=1,
+        control=False, cond=False, dtype="fp32", seed=0,
+        cluster_path=None, save="infant_results.npy", override=[],
+    )
+    infant_cli.main(args)
+    out = np.load("infant_results.npy")
+    assert out.shape == (5, 1, 17, 3)
+    assert np.isfinite(out).all()

@@ -20,9 +20,10 @@ from absl.flags import argparse_flags
 from ml_collections.config_flags import config_flags
 
 FLAGS = flags.FLAGS
-config_flags.DEFINE_config_file(
-    "config", None, "Training configuration.", lock_config=False)
-flags.mark_flags_as_required(["config"])
+if "config" not in FLAGS:  # modules may be co-imported (tests, tooling)
+    config_flags.DEFINE_config_file(
+        "config", None, "Training configuration.", lock_config=False)
+    flags.mark_flags_as_required(["config"])
 
 
 def parse_args(argv):
