@@ -150,15 +150,20 @@ def solve_sharded(
     precision=None,
     data_axis: str = "data",
 ) -> SolveResult:
-    """Multi-chip solve: shard the pose batch N over `data_axis` of `mesh`,
-    replicate weights and cluster poses. No collectives are needed inside the
-    solve (poses are independent); XLA partitions the whole scan.
+    """Multi-chip solve: shard the pose batch N over `data_axis` of `mesh`
+    via `shard_map`, replicate weights and cluster poses. No collectives are
+    needed inside (poses are independent); shard_map guarantees the whole
+    per-shard program — including the fused pallas kernel, which GSPMD
+    cannot partition through a custom call — runs independently per device.
 
-    N must be divisible by the mesh axis size — use data.sharding.pad_batch
-    to pad-and-mask (the DistributedEvalSampler replacement, SURVEY §2.6).
+    N must be divisible by the mesh data-axis size — use
+    data.sharding.pad_batch (the DistributedEvalSampler replacement,
+    SURVEY §2.6).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     repl = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(data_axis))
 
@@ -169,19 +174,38 @@ def solve_sharded(
     params = jax.device_put(params, repl)
     cluster_poses = jax.device_put(cluster_poses, repl)
 
-    fn = _sharded_solve_fn(mesh, data_axis)
-    return fn(params, model_cfg=model_cfg, sde=sde, sampler=sampler, cfg=cfg,
-              cluster_poses=cluster_poses, cond2d=cond2d, conf=conf, k=k,
-              rng=rng, precision=precision)
-
-
-@functools.lru_cache(maxsize=8)
-def _sharded_solve_fn(mesh, data_axis: str):
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    batch_sharded = NamedSharding(mesh, P(data_axis))
-    return jax.jit(
-        solve,
-        static_argnames=("model_cfg", "sde", "sampler", "cfg", "precision"),
-        out_shardings=SolveResult(poses=batch_sharded, translations=batch_sharded),
+    fn = _sharded_solve_fn(
+        mesh, data_axis, conf is not None, model_cfg, sde, sampler, cfg, precision
     )
+    if conf is None:
+        return fn(params, cluster_poses, cond2d, k, rng)
+    return fn(params, cluster_poses, cond2d, conf, k, rng)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_solve_fn(mesh, data_axis, has_conf, model_cfg, sde, sampler, cfg,
+                      precision):
+    from jax.sharding import PartitionSpec as P
+
+    b = P(data_axis)
+    r = P()
+
+    if has_conf:
+        def shard_fn(params, clusters, cond2d, conf, k, rng):
+            return solve(params, model_cfg, sde, sampler, cfg,
+                         clusters, cond2d, conf, k, rng=rng, precision=precision)
+
+        in_specs = (r, r, b, b, b, r)
+    else:
+        def shard_fn(params, clusters, cond2d, k, rng):
+            return solve(params, model_cfg, sde, sampler, cfg,
+                         clusters, cond2d, None, k, rng=rng, precision=precision)
+
+        in_specs = (r, r, b, b, r)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=SolveResult(poses=b, translations=b),
+        check_vma=False,  # params/rng used replicated; no collectives inside
+    )
+    return jax.jit(mapped)
