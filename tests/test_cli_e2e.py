@@ -261,3 +261,29 @@ def test_infant_cli_end_to_end(tmp_path, rng, monkeypatch):
     out = np.load("infant_results.npy")
     assert out.shape == (5, 1, 17, 3)
     assert np.isfinite(out).all()
+
+
+def test_tp_sharded_forward_matches_replicated(rng):
+    """ScoreMLP forward with hidden-dim TP sharding == replicated forward."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.parallel.mesh import tp_shardings
+
+    cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=256, embed_dim=128, n_blocks=2,
+        embedding_type="positional", group_norm_groups=8,
+    )
+    params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(16, 17, 3).astype(np.float32))
+    t = jnp.full((16,), 42.0)
+
+    want = np.asarray(score_mlp.apply(params, cfg, x, t))
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    params_tp = jax.device_put(params, tp_shardings(mesh, params, "model"))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = np.asarray(jax.jit(lambda p, xx, tt: score_mlp.apply(p, cfg, xx, tt))(
+        params_tp, x_sh, t))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
