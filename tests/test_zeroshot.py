@@ -352,3 +352,20 @@ def test_oil_score_reuse(rng):
     assert np.isfinite(d).all()
     assert d.mean() < 0.05  # close but not identical
     assert d.max() > 0
+
+
+def test_oil_with_langevin_corrector(rng):
+    """Generic registry path: langevin corrector + reverse_diffusion predictor
+    through the OIL loop (exotic but registered configurations must run)."""
+    k, pose, t_true, px = _scene(rng, n=3)
+    cfg_m, _, params = _tiny_model_and_params()
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="langevin",
+                        snr=0.16, n_steps=1, probability_flow=True, denoise=True,
+                        eps=0.01)
+    assert not oil_lib._fast_supported(sde, sampler)
+    cfg = oil_lib.OILConfig(iterations=8, sampling_eps=0.01, fixed_t_steps=4)
+    res = oil_lib.run_oil(params, cfg_m, sde, sampler, jnp.asarray(pose + 0.05),
+                          jnp.asarray(t_true), jnp.asarray(px), jnp.asarray(k),
+                          None, cfg, rng=jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(res.pose)).all()

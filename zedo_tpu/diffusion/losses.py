@@ -17,7 +17,7 @@ import optax
 
 from zedo_tpu.diffusion import ema as ema_lib
 from zedo_tpu.diffusion.score import get_score_fn
-from zedo_tpu.diffusion.sde import SDE, SubVPSDE, VESDE, VPSDE, _bcast
+from zedo_tpu.diffusion.sde import SDE, VESDE, VPSDE, _bcast
 
 
 def get_optimizer(config) -> optax.GradientTransformation:

@@ -1,10 +1,13 @@
 """ZeDO-i infant evaluation CLI (reference run/opt_main_infant.py).
 
 Flags --control/--cond select the ControlNet adapter or the conditional
-variant (opt_main_infant.py:122-148; the reference's `model_cond` module is
-missing from its repo — here `--cond` maps to the same hook with a plain
-ScoreMLP until a conditional variant checkpoint format exists, documented in
-SURVEY §2.2). Pipeline deltas vs opt_main live in zedo_tpu/zeroshot/infant.py.
+variant (opt_main_infant.py:122-148). The reference's `model_cond` module is
+missing from its repo (SURVEY §2.2); --cond maps to the reconstructed
+`score_mlp_cond` — note the reference zeroes the condition inside the OIL
+sampler call (opt_main_infant.py:327 `condition=condition*0`), so at
+inference the cond model runs with a zero condition, whose cond-path
+contributions are still part of the forward. Pipeline deltas vs opt_main
+live in zedo_tpu/zeroshot/infant.py.
 """
 from __future__ import annotations
 
@@ -71,7 +74,7 @@ def main(args):
     from zedo_tpu.data.mini_rgbd import MINI_K, SMIL_TO_H36M
     from zedo_tpu.diffusion.sampling import get_sampling_fn
     from zedo_tpu.diffusion.sde import build_sde
-    from zedo_tpu.models import control_mlp, score_mlp
+    from zedo_tpu.models import control_mlp, score_mlp, score_mlp_cond
     from zedo_tpu.models.registry import make_mlp_config
     from zedo_tpu.utils.checkpoint import load_torch_checkpoint
     from zedo_tpu.zeroshot import infant, pipeline
@@ -87,7 +90,12 @@ def main(args):
         config, n_joints=n_joints, joint_dim=JOINT_DIM,
         hidden_dim=HIDDEN_DIM, embed_dim=EMBED_DIM,
     )
-    model_apply = control_mlp.apply if args.control else score_mlp.apply
+    if args.control:
+        model_apply = control_mlp.apply
+    elif args.cond:
+        model_apply = score_mlp_cond.apply
+    else:
+        model_apply = score_mlp.apply
 
     ckpt_path = os.path.join(args.ckpt_dir, args.ckpt_name)
     print(f"loading model from {ckpt_path}")

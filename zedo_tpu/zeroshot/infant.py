@@ -29,7 +29,7 @@ from zedo_tpu.diffusion.sde import SDE
 from zedo_tpu.models import score_mlp
 from zedo_tpu.ops.linalg import inv_intrinsics
 from zedo_tpu.zeroshot.ipo import run_ipo
-from zedo_tpu.zeroshot.oil import OILConfig, OILResult, run_oil
+from zedo_tpu.zeroshot.oil import OILResult, run_oil
 from zedo_tpu.zeroshot.pipeline import SolveResult, ZeDOConfig
 
 _EXACT = jax.lax.Precision.HIGHEST

@@ -20,7 +20,7 @@ import numpy as np
 from zedo_tpu.diffusion.sampling import PCSampler
 from zedo_tpu.diffusion.sde import SDE
 from zedo_tpu.models import score_mlp
-from zedo_tpu.zeroshot.ipo import IPOConfig, init_translation, run_ipo
+from zedo_tpu.zeroshot.ipo import IPOConfig, run_ipo
 from zedo_tpu.zeroshot.oil import OILConfig, OILResult, run_oil
 
 _EXACT = jax.lax.Precision.HIGHEST
