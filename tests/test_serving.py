@@ -1,0 +1,50 @@
+"""Serving API: load-once / predict-many with shape bucketing."""
+import os
+import pickle
+
+import numpy as np
+import torch
+
+from tests.torch_mirror import TorchScoreMLP
+
+
+def test_estimator_predict(tmp_path, rng, monkeypatch):
+    from zedo_tpu.serving import ZeDOEstimator
+
+    # checkpoint + clusters + small config
+    tm = TorchScoreMLP()
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    shadow = [p.detach().clone() for p in tm.parameters() if p.requires_grad]
+    torch.save({"epoch": 1, "model_state_dict": sd, "optimizer_state_dict": None,
+                "ema": {"decay": 0.9999, "num_updates": 1, "shadow_params": shadow},
+                "step": 1}, tmp_path / "ckpt.pth")
+    np.save(tmp_path / "clusters.npy", rng.randn(3, 17, 3).astype(np.float32) * 0.2)
+    cfg_file = tmp_path / "cfg.py"
+    cfg_file.write_text(
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from configs.optim.concat_pose_optimization_h36m import get_config as _b\n"
+        "def get_config():\n"
+        "    c = _b(); c.ZeDO.IPO_iterations = 20; c.ZeDO.OIL_iterations = 15\n"
+        "    return c\n"
+    )
+
+    est = ZeDOEstimator.from_torch_checkpoint(
+        str(tmp_path / "ckpt.pth"), str(tmp_path / "clusters.npy"),
+        config_path=str(cfg_file), hypo=2, dtype="fp32", batch_bucket=16,
+    )
+    n = 10
+    k = np.zeros((n, 3, 3), np.float32)
+    k[:, 0, 0] = k[:, 1, 1] = 1000
+    k[:, 0, 2] = k[:, 1, 2] = 500
+    k[:, 2, 2] = 1
+    kp = rng.rand(n, 17, 2).astype(np.float32) * 200 + 400
+    out = est.predict(kp, k)
+    assert out["poses"].shape == (n, 2, 17, 3)
+    assert out["best"].shape == (n,)
+    assert np.isfinite(out["poses"]).all()
+    assert (out["best"] < 2).all()
+    # best index must actually minimize the reported reprojection error
+    np.testing.assert_array_equal(out["best"], out["reprojection_error"].argmin(1))
+    # second call with a different N in the same bucket: no new trace needed
+    out2 = est.predict(kp[:5], k[:5])
+    assert out2["poses"].shape == (5, 2, 17, 3)

@@ -225,6 +225,9 @@ def fused_score_forward(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, io_pad), jnp.float32),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * (2 * io_pad * h + 4 * h * h + 10 * h * LANE),
             bytes_accessed=b_pad * io_pad * 8 + (4 * h * h + 2 * io_pad * h) * 2,

@@ -1,0 +1,126 @@
+"""Serving API: load once, predict many times.
+
+The CLIs are batch-evaluation tools; production serving wants a persistent
+object that pays checkpoint load + compilation once and then answers
+`predict(keypoints_2d, K)` calls at device speed. Compiled executables are
+cached per input shape (pad-to-bucket to bound recompiles).
+
+    est = ZeDOEstimator.from_torch_checkpoint(
+        "checkpoint_1500.pth", "clusters/h36m_cluster5.npy",
+        config_path="configs/optim/concat_pose_optimization_h36m.py",
+        dtype="bf16")
+    poses = est.predict(kp2d, K)            # [N, S, 17, 3] + min-index
+"""
+from __future__ import annotations
+
+import dataclasses
+import importlib.util
+from typing import Optional
+
+import numpy as np
+
+
+def _load_config(config_path: str):
+    spec = importlib.util.spec_from_file_location("zedo_serving_config", config_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.get_config()
+
+
+@dataclasses.dataclass
+class ZeDOEstimator:
+    params: dict
+    model_cfg: object
+    sde: object
+    sampler: object
+    zcfg: object
+    clusters: np.ndarray  # [S, j, 3]
+    precision: object
+    batch_bucket: int = 256  # pad N up to a multiple to bound recompiles
+    seed: int = 0
+
+    @classmethod
+    def from_torch_checkpoint(
+        cls,
+        ckpt_path: str,
+        cluster_path: str,
+        config_path: str = "configs/optim/concat_pose_optimization_h36m.py",
+        hypo: Optional[int] = None,
+        dtype: str = "bf16",
+        use_ema: bool = False,
+        batch_bucket: int = 256,
+    ) -> "ZeDOEstimator":
+        import jax
+        import jax.numpy as jnp
+
+        from zedo_tpu.diffusion.sampling import get_sampling_fn
+        from zedo_tpu.diffusion.sde import build_sde
+        from zedo_tpu.models.registry import make_mlp_config
+        from zedo_tpu.utils.checkpoint import convert_cluster_file, load_torch_checkpoint
+        from zedo_tpu.zeroshot import pipeline
+
+        config = _load_config(config_path)
+        model_cfg = make_mlp_config(config)
+        ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
+        params = ckpt["ema_params"] if (use_ema and ckpt["ema_params"]) else ckpt["params"]
+        if dtype == "bf16":
+            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+            precision = None
+        else:
+            precision = jax.lax.Precision.HIGHEST
+
+        clusters = np.asarray(convert_cluster_file(cluster_path), np.float32)
+        if hypo is not None:
+            clusters = clusters[:hypo]
+        sde = build_sde(
+            config.training.sde,
+            beta_min=config.model.beta_min, beta_max=config.model.beta_max,
+            sigma_min=config.model.sigma_min, sigma_max=config.model.sigma_max,
+            n=config.model.num_scales, t_max=config.model.t,
+        )
+        config.sampling.probability_flow = True
+        sampler = get_sampling_fn(
+            config, sde, (batch_bucket, model_cfg.n_joints, model_cfg.joint_dim),
+            lambda x: x, config.ZeDO.sampling_eps,
+        )
+        zcfg = pipeline.ZeDOConfig.from_config(config)
+        return cls(params=params, model_cfg=model_cfg, sde=sde, sampler=sampler,
+                   zcfg=zcfg, clusters=clusters, precision=precision,
+                   batch_bucket=batch_bucket)
+
+    def predict(self, keypoints_2d: np.ndarray, k: np.ndarray,
+                confidence: Optional[np.ndarray] = None):
+        """keypoints_2d [N, j, 2], k [N, 3, 3], confidence [N, j] or None
+        -> dict(poses [N, S, j, 3], translations [N, S, 1, 3],
+                best [N] argmin-reprojection hypothesis index)."""
+        import jax
+        import jax.numpy as jnp
+
+        from zedo_tpu.data.sharding import pad_batch, unpad
+        from zedo_tpu.ops.camera import project
+        from zedo_tpu.zeroshot import pipeline
+
+        n = len(keypoints_2d)
+        padded, mask = pad_batch(
+            {"kp": np.asarray(keypoints_2d, np.float32),
+             "k": np.asarray(k, np.float32),
+             "conf": None if confidence is None else np.asarray(confidence, np.float32)},
+            self.batch_bucket,
+        )
+        result = pipeline.solve_jit(
+            self.params, self.model_cfg, self.sde, self.sampler, self.zcfg,
+            jnp.asarray(self.clusters), jnp.asarray(padded["kp"]),
+            None if padded["conf"] is None else jnp.asarray(padded["conf"]),
+            jnp.asarray(padded["k"]),
+            rng=jax.random.PRNGKey(self.seed), precision=self.precision,
+        )
+        poses = unpad(np.asarray(result.poses), mask)
+        trans = unpad(np.asarray(result.translations), mask)
+
+        # rank hypotheses by reprojection error (no GT at serving time)
+        cam = poses + trans  # [N, S, j, 3]
+        proj = np.asarray(project(jnp.asarray(cam), jnp.asarray(k[:, None])))
+        err = np.abs(proj - keypoints_2d[:, None]).mean(axis=(2, 3))  # [N, S]
+        best = err.argmin(axis=1)
+        return {"poses": poses, "translations": trans, "best": best,
+                "reprojection_error": err}
