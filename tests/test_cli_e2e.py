@@ -287,3 +287,35 @@ def test_tp_sharded_forward_matches_replicated(rng):
     got = np.asarray(jax.jit(lambda p, xx, tt: score_mlp.apply(p, cfg, xx, tt))(
         params_tp, x_sh, t))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_preemption_checkpoint_and_resume(tmp_path, rng):
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.train import trainer
+
+    config = mini_cfg.get_config()
+    config.training.batch_size = 16
+    config.model.num_scales = 100
+
+    class FakeDS:
+        db_3d = rng.randn(64, 17, 3).astype(np.float32) * 0.1
+        db_2d = np.zeros((64, 17, 2), np.float32)
+
+    model_cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional", num_scales=100,
+    )
+    state, _ = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "p"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=2, eval_freq=100, seed=0,
+                                          preemption_ckpt_freq=3),
+    )
+    assert os.path.exists(tmp_path / "p" / "checkpoint_preempt")
+    # resume from the preemption checkpoint
+    state2, _ = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "q"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=3, eval_freq=100, seed=0),
+        restore_dir=str(tmp_path / "p" / "checkpoint_preempt"),
+    )
+    assert int(state2.step) > int(state.step) - 8  # continued, didn't restart

@@ -363,3 +363,29 @@ def test_syrip_reader_and_eval(tmp_path, rng):
 
     ds_test = syrip(subset="validate", num_joint=12, data_root=str(root))
     assert ds_test.db_3d.shape == (2, 12, 3)
+
+
+def test_mpii3dhp_detected_2d_branch(tmp_path, rng):
+    """dt-2D path: per-sequence npz, TS3/TS4 drop 100 frames, 16->17 joints."""
+    lens = {"TS1": 6, "TS2": 5, "TS3": 104, "TS4": 103, "TS5": 4, "TS6": 3}
+    d3 = {s: rng.randn(n, 16, 3).astype(np.float32) * 300 for s, n in lens.items()}
+    d2 = {s: rng.rand(n, 16, 2).astype(np.float32) * 2000 for s, n in lens.items()}
+    np.savez(
+        tmp_path / "mpii_dt_test.npz",
+        positions_3d=np.array(d3, dtype=object),
+        positions_2d=np.array(d2, dtype=object),
+    )
+    ds = MPII3DHP(str(tmp_path), "test", gt2d=False, abs_coord=True)
+    expected_n = 6 + 5 + 4 + 3 + 4 + 3  # TS3/TS4 keep len-100 frames
+    assert ds.db_3d.shape == (expected_n, 17, 3)
+    assert ds.db_2d.shape[1] == 17
+    # slot 10 zero-filled by the 16->17 mapping
+    np.testing.assert_array_equal(ds.db_3d[:, 10], 0)
+    # dt camera table spans sum(DT_LEN) with the hard-coded intrinsics
+    from zedo_tpu.data.mpii3dhp import DT_LEN, MPII_K
+    assert ds.camera_param.shape[0] == sum(DT_LEN)
+    assert ds.camera_param[0, 0, 0] == np.float32(MPII_K[0]["fx"])
+    # detected-branch eval: head joint pinned to GT, whole-set mean
+    preds = ds.db_3d[:, None] + 0.02
+    e = ds.eval_multi(preds, protocol2=False)
+    assert np.isfinite(e)

@@ -40,12 +40,21 @@ def parse_args(argv):
 
 
 def build_train_dataset(config, args):
-    from zedo_tpu.data import mini_rgbd, syrip
+    from pathlib import Path
+
+    from zedo_tpu.data import H36MDataset3D, mini_rgbd, syrip
 
     name = config.data.dataset
     nj = config.DATASET.NUM_JOINT
     kwargs = dict(gt2d=True, read_confidence=False, sample_interval=args.sample or 1,
                   flip=args.rotflip, rot=args.rotflip, aug=args.aug)
+    if name == "h36m":
+        # adult-prior training (the reference ships adult checkpoints but no
+        # adult training config; the same loop trains it here)
+        return H36MDataset3D(
+            Path("data", "h36m"), "train", gt2d=True,
+            sample_interval=args.sample or 1, flip=args.rotflip, rot=args.rotflip,
+        )
     if name == "mini":
         return mini_rgbd("train", num_joint=17, **kwargs)
     if name == "syrip":
@@ -99,6 +108,9 @@ def main(args):
         n_epochs=args.epochs or trainer.N_EPOCHES,
         data_scale=config.training.data_scale,
         seed=config.seed,
+        preemption_ckpt_freq=int(
+            config.training.get("snapshot_freq_for_preemption", 0) or 0
+        ),
     )
     restore = getattr(args, "restore_dir", None)
     try:

@@ -83,6 +83,11 @@ class TrainerConfig:
     sampling_eps: float = 1e-3
     seed: int = 42
     zero_condition: bool = True  # reference trains unconditionally (data_2d*0)
+    # extra overwrite-in-place checkpoint every k optimizer steps, for cloud
+    # preemption recovery with --restore-dir (the reference carries the
+    # config key `training.snapshot_freq_for_preemption` but never uses it,
+    # configs/default_pose_gen_configs.py:23; functional here). 0 = off.
+    preemption_ckpt_freq: int = 0
 
 
 def make_train_step(sde, model_apply_raw, model_cfg, optimizer,
@@ -232,7 +237,21 @@ def train_loop(
     steps_per_epoch = max(1, n // batch_size)
     rng_np = np.random.RandomState(trainer_cfg.seed)
 
+    def _ckpt_payload(epoch):
+        return {
+            "epoch": epoch + 1,
+            "params": state.params,
+            "ema": {
+                "decay": state.ema.decay,
+                "num_updates": state.ema.num_updates,
+                "shadow_params": state.ema.shadow_params,
+            },
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+
     history = []
+    global_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, trainer_cfg.n_epochs):
         perm = rng_np.permutation(n)
         meter = AverageMeter()
@@ -245,8 +264,15 @@ def train_loop(
             state, loss = train_step(state, step_key, batch, None, None)
             loss = float(loss)
             meter.update(loss)
+            global_step += 1
             if writer is not None:
                 writer.add_scalar("train_loss", loss, i + epoch * steps_per_epoch)
+            if (trainer_cfg.preemption_ckpt_freq
+                    and global_step % trainer_cfg.preemption_ckpt_freq == 0):
+                ckpt_lib.save_native(
+                    os.path.join(output_dir, "checkpoint_preempt"),
+                    _ckpt_payload(epoch),
+                )
         log(f"EPOCH: [{epoch}/{trainer_cfg.n_epochs}], Loss: {meter.avg}")
         if writer is not None:
             writer.add_scalar("Loss/train", meter.avg, epoch)
@@ -272,19 +298,8 @@ def train_loop(
             results = np.asarray(results) / trainer_cfg.data_scale
             np.save(os.path.join(output_dir, f"results_{epoch}.npy"), results)
 
-            ckpt_payload = {
-                "epoch": epoch + 1,
-                "params": state.params,
-                "ema": {
-                    "decay": state.ema.decay,
-                    "num_updates": state.ema.num_updates,
-                    "shadow_params": state.ema.shadow_params,
-                },
-                "opt_state": state.opt_state,
-                "step": state.step,
-            }
             ckpt_lib.save_native(
-                os.path.join(output_dir, f"checkpoint_{epoch}"), ckpt_payload
+                os.path.join(output_dir, f"checkpoint_{epoch}"), _ckpt_payload(epoch)
             )
             log(f"Save checkpoint to {output_dir}")
 
