@@ -114,3 +114,19 @@ def test_flattened_numpy_helpers(rng):
     assert flat.shape == (4 * 17 * 3,)
     back = from_flattened_numpy(flat, (4, 17, 3))
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_make_clusters(rng):
+    from tools.make_clusters import make_clusters
+
+    # two well-separated pose modes
+    a = rng.randn(40, 17, 3).astype(np.float32) * 0.05 + 1.0
+    b = rng.randn(40, 17, 3).astype(np.float32) * 0.05 - 1.0
+    poses = np.concatenate([a, b])
+    c = make_clusters(poses, 2, seed=0)
+    assert c.shape == (2, 17, 3)
+    # centers root-centered and near the two modes (root-centering maps both
+    # modes near their own shapes)
+    np.testing.assert_allclose(c[:, 0], 0, atol=1e-5)
+    c1 = make_clusters(poses, 1)
+    assert c1.shape == (1, 17, 3)
