@@ -138,3 +138,33 @@ def test_trained_prior_beats_no_prior(trained_prior):
     assert err_prior < 0.8 * err_geo
     # absolute sanity (loose: 1500-step prior on a rank-6 family lands ~100mm)
     assert err_prior < 150.0
+
+
+def test_multi_hypothesis_improves(trained_prior):
+    """Clusters from make_clusters + min-over-hypotheses beats 1 hypothesis."""
+    from tools.make_clusters import make_clusters
+
+    cfg, params, family = trained_prior
+    rng = np.random.RandomState(11)
+    gt, k, px, _ = _make_scene(family, rng, n=32)
+    train_poses, _ = _pose_family(np.random.RandomState(0), 512)
+    clusters = make_clusters(train_poses, 3, seed=0)
+
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=True, denoise=True, eps=0.01)
+    zcfg = pipeline.ZeDOConfig(
+        ipo=ipo_lib.IPOConfig(iterations=150, keypoint_list=(0, 1, 4),
+                              rot_axes="z", t_norm=4.0),
+        oil=oil_lib.OILConfig(iterations=300, sampling_eps=0.01),
+    )
+    res = pipeline.solve(params, cfg, sde, sampler, zcfg, jnp.asarray(clusters),
+                         jnp.asarray(px), None, jnp.asarray(k),
+                         precision=jax.lax.Precision.HIGHEST)
+    poses = np.asarray(res.poses)  # [N, 3, j, 3]
+    per_hypo = np.sqrt(((poses - gt[:, None, None][:, :, 0]) ** 2).sum(-1)).mean(-1)
+    best = per_hypo.min(axis=1).mean() * 1000
+    single = per_hypo[:, 0].mean() * 1000
+    print(f"single-hypothesis {single:.1f}mm | min-of-3 {best:.1f}mm")
+    assert best <= single
+    assert best < 200.0
