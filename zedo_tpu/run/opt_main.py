@@ -148,9 +148,12 @@ def run_pipeline(config, args, dataset, logger_print=print):
         {"cond2d": cond2d, "conf": conf, "k": k}, n_dev
     )
 
-    clusters = jnp.asarray(sample_poses[: args.hypo], jnp.float32).reshape(
-        args.hypo, N_JOINTS, JOINT_DIM
-    )
+    sample_poses = np.asarray(sample_poses, np.float32).reshape(-1, N_JOINTS, JOINT_DIM)
+    if len(sample_poses) < args.hypo:
+        raise ValueError(
+            f"cluster file provides {len(sample_poses)} poses but --hypo={args.hypo}"
+        )
+    clusters = jnp.asarray(sample_poses[: args.hypo])
 
     t0 = time.time()
     result = pipeline.solve_sharded(
