@@ -78,3 +78,14 @@ def test_stopwatch_and_trace(tmp_path):
             float(jnp.sum(jnp.ones((8, 8))))
     import os
     assert any(os.scandir(tmp_path / "tr"))  # trace files written
+
+
+def test_save_pose_grid(tmp_path, rng):
+    from zedo_tpu.utils.visualize import save_pose_grid
+
+    poses = rng.randn(5, 17, 3).astype(np.float32) * 0.3
+    px = rng.rand(5, 17, 2).astype(np.float32) * 500
+    out = save_pose_grid(str(tmp_path / "grid.png"), poses, poses_2d=px,
+                         gts_3d=poses + 0.05)
+    import os
+    assert os.path.getsize(out) > 10000  # non-trivial PNG
