@@ -6,7 +6,8 @@ programs that run on a TPU slice are validated host-side (SURVEY.md §4).
 """
 import os
 
-# Force CPU even when the environment pins a TPU platform (JAX_PLATFORMS=axon):
+# Force CPU even when the environment pins a TPU platform (JAX_PLATFORMS=axon,
+# registered eagerly by a sitecustomize hook that overrides the env var):
 # unit tests must be hermetic and fast, and sharding tests need 8 devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
@@ -16,6 +17,15 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 # fp32 everywhere in tests: parity targets are metric-level (mm)
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+import jax
+
+# the env var alone loses to an already-registered PJRT plugin; the config
+# knob wins as long as no backend has been used yet
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on CPU; a TPU backend grabbed the process first"
+)
 
 import numpy as np
 import pytest
