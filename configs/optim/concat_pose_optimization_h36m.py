@@ -1,4 +1,11 @@
 """H36M eval config (reference configs/optim/concat_pose_optimization_h36m.py)."""
+import os as _os
+import sys as _sys
+
+# config files are loaded by PATH (ml_collections config_flags); make the
+# repo root importable regardless of the caller's cwd
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "../..")))
+
 from configs.default_pose_gen_configs import get_default_configs
 from configs.optim._base import build_optim_config
 
