@@ -69,8 +69,14 @@ def main():
     zcfg = pipeline.ZeDOConfig()  # 500 IPO / 1000 OIL, h36m keylist
 
     mesh = default_mesh()
+    # shard_map needs N divisible by the device count (pad-and-mask like the
+    # CLI does; padded rows are replicas of the last pose)
+    from zedo_tpu.data.sharding import pad_batch
+
+    padded, _mask = pad_batch({"px": px, "conf": conf, "k": k}, mesh.devices.size)
     args = (
-        jnp.asarray(clusters), jnp.asarray(px), jnp.asarray(conf), jnp.asarray(k)
+        jnp.asarray(clusters), jnp.asarray(padded["px"]),
+        jnp.asarray(padded["conf"]), jnp.asarray(padded["k"]),
     )
 
     def run(seed):

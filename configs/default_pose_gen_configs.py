@@ -13,6 +13,9 @@ def get_default_configs():
     config.DATASET.TRAIN_DATASET = "h36m"
     config.DATASET.TEST_DATASET = "h36m"
     config.DATASET.HYBRID_JOINTS_TYPE = ""
+    # adult joint count (the reference only defines NUM_JOINT in the infant
+    # defaults; the adult training/eval paths here read it uniformly)
+    config.DATASET.NUM_JOINT = 17
 
     config.training = training = ml_collections.ConfigDict()
     config.training.batch_size = 50000

@@ -130,3 +130,36 @@ def test_make_clusters(rng):
     np.testing.assert_allclose(c[:, 0], 0, atol=1e-5)
     c1 = make_clusters(poses, 1)
     assert c1.shape == (1, 17, 3)
+
+
+def test_ema_from_native_checkpoint(tmp_path, rng):
+    """--ema must pick up EMA weights from natively-trained orbax checkpoints
+    (regression: the loader previously looked for a nonexistent 'ema_params'
+    key and silently fell back to raw weights)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.utils.checkpoint import save_native
+    from zedo_tpu.run import opt_main
+
+    cfg = score_mlp.ScoreMLPConfig(n_joints=17)
+    params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    shadow = jax.tree.map(lambda x: x * 0.5, params)
+    save_native(str(tmp_path / "native"), {
+        "epoch": 1, "params": params,
+        "ema": {"decay": 0.999, "num_updates": 10, "shadow_params": shadow},
+        "opt_state": None, "step": 5,
+    })
+    # exercise only the checkpoint-selection logic of run_pipeline
+    from zedo_tpu.utils.checkpoint import restore_native
+
+    raw = restore_native(str(tmp_path / "native"))
+    ema = raw.get("ema") or {}
+    assert ema.get("shadow_params") is not None
+    np.testing.assert_allclose(
+        np.asarray(ema["shadow_params"]["pre_dense"]["weight"]),
+        np.asarray(params["pre_dense"]["weight"]) * 0.5, atol=1e-7,
+    )

@@ -52,6 +52,58 @@ def clamp_confidence(conf: jax.Array) -> jax.Array:
     return jnp.clip(conf, 1e-4, 1.0)
 
 
+def normal_matrix(rx: jax.Array, ry: jax.Array, w: jax.Array) -> jax.Array:
+    """A^T A of the reference's stacked translation system
+    (simple_zeroshot_opt.py:74-93). Per joint, with r = (rx, ry):
+      row_x: (-1,  0, rx) . T = X - Z*rx
+      row_y: ( 0, -1, ry) . T = Y - Z*ry
+    both rows scaled by conf^2 -> w = conf^4 in the normal equations (the
+    reference's double-weighting quirk; published metrics depend on it).
+    rx, ry, w: [..., j]. Returns [..., 3, 3]."""
+    sw = jnp.sum(w, axis=-1)
+    swrx = jnp.sum(w * rx, axis=-1)
+    swry = jnp.sum(w * ry, axis=-1)
+    swr2 = jnp.sum(w * (rx * rx + ry * ry), axis=-1)
+    zeros = jnp.zeros_like(sw)
+    return jnp.stack(
+        [
+            jnp.stack([sw, zeros, -swrx], axis=-1),
+            jnp.stack([zeros, sw, -swry], axis=-1),
+            jnp.stack([-swrx, -swry, swr2], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def normal_rhs(rx: jax.Array, ry: jax.Array, w: jax.Array, key3d: jax.Array) -> jax.Array:
+    """A^T b of the same system for the current pose. Returns [..., 3]."""
+    x, y, z = key3d[..., 0], key3d[..., 1], key3d[..., 2]
+    bx = x - z * rx
+    by = y - z * ry
+    return jnp.stack(
+        [
+            -jnp.sum(w * bx, axis=-1),
+            -jnp.sum(w * by, axis=-1),
+            jnp.sum(w * (rx * bx + ry * by), axis=-1),
+        ],
+        axis=-1,
+    )
+
+
+def flip_negative_z(t: jax.Array) -> jax.Array:
+    """Flip T where its z is negative — the camera must look at the person
+    (`T[T[:, :, 2] < 0] *= -1`, simple_zeroshot_opt.py:93). t: [..., 3]."""
+    return jnp.where(t[..., 2:] < 0, -t, t)
+
+
+def confidence_weights(conf: Optional[jax.Array], like: jax.Array) -> jax.Array:
+    """conf^4 weights after clamping, or ones (see normal_matrix docstring)."""
+    if conf is None:
+        return jnp.ones_like(like)
+    c = clamp_confidence(conf)
+    return (c * c) ** 2
+
+
 def solve_translation(
     rays: jax.Array, key3d: jax.Array, conf: Optional[jax.Array]
 ) -> jax.Array:
@@ -59,50 +111,13 @@ def solve_translation(
 
     rays: [..., j, 3] z-normalized (z == 1) rays; key3d: [..., j, 3];
     conf: [..., j] already clamped, or None. Returns T [..., 1, 3].
-
-    Solves the reference's stacked system (simple_zeroshot_opt.py:74-93) via
-    its 3x3 normal equations. Per joint, with r = (rx, ry):
-      row_x: (-1,  0, rx) . T = X - Z*rx
-      row_y: ( 0, -1, ry) . T = Y - Z*ry
-    both rows and rhs scaled by conf^2 -> conf^4 in the normal equations.
-    The sign of T is flipped where its z is negative (camera must look at
-    the person), matching `T[T[:, :, 2] < 0] *= -1`.
+    (The OIL hot loop uses the same assembly with the normal-matrix inverse
+    precomputed once — zeroshot/oil.py.)
     """
-    x, y, z = key3d[..., 0], key3d[..., 1], key3d[..., 2]
     rx, ry = rays[..., 0], rays[..., 1]
-    bx = x - z * rx
-    by = y - z * ry
-
-    if conf is not None:
-        w = (conf * conf) ** 2  # conf^4; see module docstring
-    else:
-        w = jnp.ones_like(rx)
-
-    sw = jnp.sum(w, axis=-1)
-    swrx = jnp.sum(w * rx, axis=-1)
-    swry = jnp.sum(w * ry, axis=-1)
-    swr2 = jnp.sum(w * (rx * rx + ry * ry), axis=-1)
-    zeros = jnp.zeros_like(sw)
-
-    ata = jnp.stack(
-        [
-            jnp.stack([sw, zeros, -swrx], axis=-1),
-            jnp.stack([zeros, sw, -swry], axis=-1),
-            jnp.stack([-swrx, -swry, swr2], axis=-1),
-        ],
-        axis=-2,
-    )  # [..., 3, 3]
-    atb = jnp.stack(
-        [
-            -jnp.sum(w * bx, axis=-1),
-            -jnp.sum(w * by, axis=-1),
-            jnp.sum(w * (rx * bx + ry * by), axis=-1),
-        ],
-        axis=-1,
-    )  # [..., 3]
-
-    t = solve3x3(ata, atb)  # [..., 3]
-    t = jnp.where(t[..., 2:] < 0, -t, t)
+    w = jnp.ones_like(rx) if conf is None else (conf * conf) ** 2
+    t = solve3x3(normal_matrix(rx, ry, w), normal_rhs(rx, ry, w, key3d))
+    t = flip_negative_z(t)
     return t[..., None, :]
 
 

@@ -114,7 +114,9 @@ def run_pipeline(config, args, dataset, logger_print=print):
         ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
     else:
         raw = restore_native(ckpt_path)
-        ckpt = {"params": raw["params"], "ema_params": raw.get("ema_params"),
+        ema = raw.get("ema") or {}
+        ckpt = {"params": raw["params"],
+                "ema_params": ema.get("shadow_params"),
                 "step": raw.get("step", 0)}
     logger_print(f"=> loaded checkpoint '{ckpt_path}' (step {ckpt['step']})")
     params = ckpt["ema_params"] if (args.ema and ckpt["ema_params"]) else ckpt["params"]

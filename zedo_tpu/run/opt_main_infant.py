@@ -137,6 +137,15 @@ def main(args):
         # cluster = first train sample (opt_main_infant.py:237-240)
         sample_poses = train_dataset.db_3d[0:1]
 
+    sample_poses = np.asarray(sample_poses, np.float32)
+    if len(sample_poses) < args.hypo:
+        # the reference reruns the SAME single cluster per hypothesis
+        # (opt_main_infant.py:245-253 never indexes by sid); replicate that
+        # semantics explicitly rather than silently truncating
+        print(f"note: cluster source has {len(sample_poses)} pose(s); "
+              f"tiling to {args.hypo} identical hypotheses")
+        reps = -(-args.hypo // len(sample_poses))
+        sample_poses = np.tile(sample_poses, (reps, 1, 1))
     clusters = jnp.asarray(sample_poses[: args.hypo], jnp.float32)
     if args.dtype == "bf16":
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)

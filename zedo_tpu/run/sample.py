@@ -74,7 +74,9 @@ def main(args):
     if ckpt_path.endswith(".pth"):
         ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
     else:
-        ckpt = restore_native(ckpt_path)
+        raw = restore_native(ckpt_path)
+        ckpt = {"params": raw["params"],
+                "ema_params": (raw.get("ema") or {}).get("shadow_params")}
     params = ckpt["ema_params"] if (args.ema and ckpt.get("ema_params")) else ckpt["params"]
 
     sde = build_sde(

@@ -21,10 +21,11 @@ if "config" not in FLAGS:  # modules may be co-imported (tests, tooling)
 
 def parse_args(argv):
     parser = argparse_flags.ArgumentParser(description="train score model")
-    parser.add_argument("--restore-dir", type=str)
+    parser.add_argument("--restore_dir", "--restore-dir", type=str, default=None,
+                        help="orbax checkpoint to resume from (functional; the "
+                             "reference parses but ignores it)")
     parser.add_argument("--sample", type=int, help="sample trainset to reduce data")
     parser.add_argument("--flip", default=False, action="store_true")
-    parser.add_argument("--restore_dir", default=False)
     parser.add_argument("--rotflip", default=False, action="store_true")
     parser.add_argument("--fine_tune", default=False, action="store_true")
     parser.add_argument("--fine_tune_ckpt", type=str, default=None,
@@ -112,7 +113,6 @@ def main(args):
             config.training.get("snapshot_freq_for_preemption", 0) or 0
         ),
     )
-    restore = getattr(args, "restore_dir", None)
     try:
         trainer.train_loop(
             config, dataset,
@@ -120,7 +120,7 @@ def main(args):
             model_cfg=model_cfg,
             trainer_cfg=tcfg,
             fine_tune_params=fine_tune_params,
-            restore_dir=restore if isinstance(restore, str) and restore else None,
+            restore_dir=getattr(args, "restore_dir", None) or None,
             writer=writer,
             logger=logger,
         )

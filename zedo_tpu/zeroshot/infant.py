@@ -117,44 +117,11 @@ def solve_one_hypothesis_infant(
     x0 = jnp.einsum("bij,bnj->bni", ipo.rot_mat, x0, precision=_EXACT)
 
     oil_cfg = dataclasses.replace(cfg.oil, fixed_t_steps=refine_t_from)
-    if model_apply is score_mlp.apply or model_apply is None:
-        return run_oil(
-            params, model_cfg, sde, sampler, x0, ipo.translation,
-            cond2d, k, None, oil_cfg, rng=rng, precision=precision,
-        )
-    # custom model (ControlNet adapter): generic path over its apply fn
-    from zedo_tpu.diffusion.score import get_score_fn
-    from zedo_tpu.zeroshot.oil import (
-        precompute_geometry, ray_gradient, solve_translation_fast,
+    return run_oil(
+        params, model_cfg, sde, sampler, x0, ipo.translation,
+        cond2d, k, None, oil_cfg, rng=rng, precision=precision,
+        model_apply=model_apply,
     )
-
-    geo = precompute_geometry(cond2d, k, None)
-    timestamps = jnp.linspace(sde.T, oil_cfg.sampling_eps, oil_cfg.iterations)
-
-    def model_fn(x, labels, condition, mask):
-        return model_apply(params, model_cfg, x, labels, condition, mask,
-                           precision=precision)
-
-    score_fn = get_score_fn(sde, model_fn, continuous=sampler.continuous)
-    resolve = jnp.arange(oil_cfg.iterations) >= oil_cfg.n_fixed
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-
-    def body(carry, xs):
-        x, t_cur = carry
-        t_i, resolve_i, i = xs
-        t_new = solve_translation_fast(geo, x)
-        t_cur = jnp.where(resolve_i, t_new, t_cur)
-        grad = ray_gradient(geo, x, t_cur)
-        x = x + grad
-        _, x_mean = sampler.zedo_pc_step(score_fn, jax.random.fold_in(rng, i), x, t_i)
-        return (x_mean, t_cur), jnp.mean(jnp.linalg.norm(grad, axis=-1))
-
-    (x, t_final), grad_norms = jax.lax.scan(
-        body, (x0, ipo.translation),
-        (timestamps, resolve, jnp.arange(oil_cfg.iterations)),
-    )
-    return OILResult(pose=x, translation=t_final, grad_norms=grad_norms)
 
 
 def solve_infant(

@@ -36,7 +36,10 @@ from zedo_tpu.diffusion.score import CONTINUOUS_LABEL_SCALE, get_score_fn
 from zedo_tpu.diffusion.sde import SDE, SubVPSDE
 from zedo_tpu.models import score_mlp
 from zedo_tpu.ops.camera import backproject_rays
-from zedo_tpu.ops.gradient_field import clamp_confidence, perpendicular_distance
+from zedo_tpu.ops.gradient_field import (
+    confidence_weights, flip_negative_z, normal_matrix, normal_rhs,
+    perpendicular_distance,
+)
 from zedo_tpu.ops.linalg import inv3x3
 
 
@@ -82,44 +85,19 @@ def precompute_geometry(
     rays = backproject_rays(cond2d[..., :2], k)  # z == 1
     rays_unit = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
     rx, ry = rays[..., 0], rays[..., 1]
-    if conf is not None:
-        c = clamp_confidence(conf)
-        w = (c * c) ** 2
-    else:
-        w = jnp.ones_like(rx)
-    sw = jnp.sum(w, axis=-1)
-    swrx = jnp.sum(w * rx, axis=-1)
-    swry = jnp.sum(w * ry, axis=-1)
-    swr2 = jnp.sum(w * (rx * rx + ry * ry), axis=-1)
-    zeros = jnp.zeros_like(sw)
-    ata = jnp.stack(
-        [
-            jnp.stack([sw, zeros, -swrx], axis=-1),
-            jnp.stack([zeros, sw, -swry], axis=-1),
-            jnp.stack([-swrx, -swry, swr2], axis=-1),
-        ],
-        axis=-2,
+    w = confidence_weights(conf, rx)
+    return Geometry(
+        rays_unit=rays_unit, rx=rx, ry=ry, w=w,
+        ata_inv=inv3x3(normal_matrix(rx, ry, w)),
     )
-    return Geometry(rays_unit=rays_unit, rx=rx, ry=ry, w=w, ata_inv=inv3x3(ata))
 
 
 def solve_translation_fast(geo: Geometry, key3d: jax.Array) -> jax.Array:
     """T = ATA^-1 ATb with the precomputed inverse; z-flip as in the
     reference (simple_zeroshot_opt.py:92-93). Returns [B, 1, 3]."""
-    x, y, z = key3d[..., 0], key3d[..., 1], key3d[..., 2]
-    bx = x - z * geo.rx
-    by = y - z * geo.ry
-    atb = jnp.stack(
-        [
-            -jnp.sum(geo.w * bx, axis=-1),
-            -jnp.sum(geo.w * by, axis=-1),
-            jnp.sum(geo.w * (geo.rx * bx + geo.ry * by), axis=-1),
-        ],
-        axis=-1,
-    )
+    atb = normal_rhs(geo.rx, geo.ry, geo.w, key3d)
     t = jnp.einsum("bij,bj->bi", geo.ata_inv, atb)
-    t = jnp.where(t[..., 2:] < 0, -t, t)
-    return t[:, None, :]
+    return flip_negative_z(t)[:, None, :]
 
 
 def ray_gradient(geo: Geometry, key3d: jax.Array, t: jax.Array) -> jax.Array:
@@ -156,22 +134,27 @@ def run_oil(
     cfg: OILConfig,
     rng: Optional[jax.Array] = None,
     precision=None,
+    model_apply=None,
 ) -> OILResult:
     """The full OIL loop as one scan.
 
     x0: [B, j, 3] rotated init pose (IPO output applied, opt_main.py:201);
     t0: [B, 1, 3] IPO translation; cond2d: [B, j, >=2]; conf: [B, j] or None.
     rng is only needed for the generic (noise-injecting) path.
+    model_apply: score_mlp.apply-compatible fn for custom networks (ControlNet
+    adapter, conditional model); those always take the generic path.
     """
     geo = precompute_geometry(cond2d, k, conf)
     timestamps = jnp.linspace(sde.T, cfg.sampling_eps, cfg.iterations)
 
-    if _fast_supported(sde, sampler):
+    standard_model = model_apply is None or model_apply is score_mlp.apply
+    if standard_model and _fast_supported(sde, sampler):
         return _run_oil_fast(
             params, model_cfg, sde, geo, x0, t0, timestamps, cfg, precision
         )
     return _run_oil_generic(
-        params, model_cfg, sde, sampler, geo, x0, t0, timestamps, cfg, rng, precision
+        params, model_cfg, sde, sampler, geo, x0, t0, timestamps, cfg, rng,
+        precision, model_apply or score_mlp.apply,
     )
 
 
@@ -281,7 +264,7 @@ def _run_oil_fast(
 
 def _run_oil_generic(
     params, model_cfg, sde, sampler: PCSampler, geo: Geometry, x0, t0,
-    timestamps, cfg, rng, precision,
+    timestamps, cfg, rng, precision, model_apply=score_mlp.apply,
 ) -> OILResult:
     """Any predictor/corrector via the registry; one zedo_pc_step per
     iteration (matches sampling.py:450-527 semantics exactly)."""
@@ -289,8 +272,8 @@ def _run_oil_generic(
         rng = jax.random.PRNGKey(0)
 
     def model_fn(x, labels, condition, mask):
-        return score_mlp.apply(params, model_cfg, x, labels, condition, mask,
-                               precision=precision)
+        return model_apply(params, model_cfg, x, labels, condition, mask,
+                           precision=precision)
 
     score_fn = get_score_fn(sde, model_fn, continuous=sampler.continuous)
     resolve = jnp.arange(cfg.iterations) >= cfg.n_fixed
