@@ -1,0 +1,544 @@
+"""Parity harness against the ACTUAL reference implementation.
+
+Unlike `tests/torch_mirror.py` (an independently written oracle — good hygiene
+against copying, weak as parity evidence), these tests import the reference's
+own torch modules from /root/reference and assert agreement with the shipped
+jax code at three levels:
+
+  (a) per-layer activations of the real `ScoreModelFC_Adv`
+      (lib/algorithms/advanced/model.py:97-298) vs `score_mlp.apply`,
+  (b) K-step IPO and OIL trajectories driven by the real `RotOpt` /
+      `gradient_field_gen` / `get_pc_sampler`
+      (simple_zeroshot_opt.py:8-125, sampling.py:400-527, opt_main.py:177-220),
+  (c) end-to-end solve metric agreement at reduced iterations.
+
+A self-written mirror can reproduce a misreading of the reference; the real
+code cannot. Real checkpoints/datasets don't exist in this environment, so
+reference-code equivalence is the strongest accuracy evidence available for
+the BASELINE "PA-MPJPE parity" bar.
+
+The reference is imported read-only (sys.path + a torchvision stub — the
+package imports `torchvision.utils` at module scope but never uses it on the
+paths exercised here).
+"""
+import functools
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+
+from zedo_tpu.diffusion import ema as ema_lib
+from zedo_tpu.diffusion import score as score_lib
+from zedo_tpu.diffusion.sampling import PCSampler
+from zedo_tpu.diffusion.sde import SubVPSDE, VESDE, VPSDE
+from zedo_tpu.models import score_mlp
+from zedo_tpu.ops import camera as camera_ops
+from zedo_tpu.ops import gradient_field as gf_lib
+from zedo_tpu.ops.rotations import quaternion_to_matrix
+from zedo_tpu.utils import checkpoint as ckpt_lib
+from zedo_tpu.zeroshot import ipo as ipo_lib
+from zedo_tpu.zeroshot import oil as oil_lib
+from zedo_tpu.zeroshot import pipeline
+
+REF_ROOT = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_ROOT), reason="reference tree not available"
+)
+
+
+@functools.lru_cache(maxsize=None)
+def ref():
+    """Import the reference's own modules (lazily, once)."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.make_grid = lambda *a, **k: None
+        tvu.save_image = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+    if REF_ROOT not in sys.path:
+        # append (not insert) so the repo's own packages keep priority;
+        # only the collision-free `lib` package is imported from here
+        sys.path.append(REF_ROOT)
+    import lib.algorithms.advanced.model as model
+    import lib.algorithms.advanced.sampling as sampling
+    import lib.algorithms.advanced.sde_lib as sde_lib
+    import lib.algorithms.advanced.simple_zeroshot_opt as szo
+    import lib.algorithms.advanced.utils as autils
+    import lib.algorithms.ema as ema_mod
+
+    return types.SimpleNamespace(
+        model=model, sampling=sampling, sde_lib=sde_lib, szo=szo,
+        autils=autils, ema=ema_mod,
+    )
+
+
+def ref_config(embedding_type="positional", scale_by_sigma=False):
+    """The slice of the reference optim config the model/SDE stack reads
+    (configs/optim/concat_pose_optimization_h36m.py + default_pose_gen)."""
+    c = ml_collections.ConfigDict()
+    c.training = ml_collections.ConfigDict(dict(
+        sde="subvpsde", continuous=True, reduce_mean=True,
+        cond_pose_mask_prob=0.0, cond_part_mask_prob=0.0,
+        cond_joint_mask_prob=0.0,
+    ))
+    c.sampling = ml_collections.ConfigDict(dict(
+        method="pc", predictor="euler_maruyama", corrector="none",
+        n_steps_each=1, noise_removal=True, probability_flow=True, snr=0.16,
+    ))
+    c.model = ml_collections.ConfigDict(dict(
+        embedding_type=embedding_type, scale_by_sigma=scale_by_sigma,
+        sigma_min=0.01, sigma_max=50.0, num_scales=1000,
+        beta_min=0.1, beta_max=20.0, t=0.1, fourier_scale=16,
+        ema_rate=0.9999, dropout=0.25,
+    ))
+    return c
+
+
+def make_pair(embedding_type="positional", scale_by_sigma=False,
+              hidden=1024, embed=512, n_blocks=2, seed=0):
+    """A reference model (random torch init) + the converted jax params."""
+    R = ref()
+    torch.manual_seed(seed)
+    tmodel = R.model.ScoreModelFC_Adv(
+        ref_config(embedding_type, scale_by_sigma),
+        n_joints=17, joint_dim=3, hidden_dim=hidden, embed_dim=embed,
+        cond_dim=3, n_blocks=n_blocks,
+    )
+    tmodel.eval()
+    cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=hidden, embed_dim=embed,
+        n_blocks=n_blocks, embedding_type=embedding_type,
+        scale_by_sigma=scale_by_sigma,
+    )
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = ckpt_lib.params_from_torch_state_dict(sd, cfg)
+    return tmodel, cfg, params
+
+
+# ------------------------------------------------------------ (a) the model
+def _ref_intermediates(tmodel, x_t, labels_t):
+    """Forward the real model with hooks on every GroupNorm + the shared
+    time-embed, returning {name: activation} for per-layer comparison."""
+    captured = {}
+    hooks = []
+
+    def grab(name, mod):
+        hooks.append(mod.register_forward_hook(
+            lambda m, i, o: captured.__setitem__(name, o.detach().numpy())
+        ))
+
+    grab("temb", tmodel.shared_time_embed)
+    grab("pre_gnorm", tmodel.pre_gnorm)
+    for b in range(tmodel.n_blocks):
+        grab(f"b{b + 1}_gnorm1", getattr(tmodel, f"b{b + 1}_gnorm1"))
+        grab(f"b{b + 1}_gnorm2", getattr(tmodel, f"b{b + 1}_gnorm2"))
+    with torch.no_grad():
+        out = tmodel(x_t, labels_t, None, None).numpy()
+    for h in hooks:
+        h.remove()
+    return out, captured
+
+
+@pytest.mark.parametrize("embedding_type,scale_by_sigma", [
+    ("positional", False),   # every shipped optim config (model.py:255-259)
+    ("fourier", False),      # model.py:249-252 branch
+    ("fourier", True),       # model.py:293-296 sigma normalization
+])
+def test_score_model_per_layer_activation_parity(rng, embedding_type,
+                                                 scale_by_sigma):
+    tmodel, cfg, params = make_pair(embedding_type, scale_by_sigma)
+    B = 16
+    x = rng.randn(B, 17, 3).astype(np.float32)
+    if embedding_type == "positional":
+        # continuous sub-VP labels: t*999 with t in [eps, T] (utils.py:762)
+        labels = (rng.rand(B).astype(np.float32) * 0.099 + 0.001) * 999.0
+    else:
+        # fourier consumes sigma values directly (model.py:249-252)
+        labels = np.exp(
+            rng.rand(B).astype(np.float32) * (np.log(50.0) - np.log(0.01))
+            + np.log(0.01)
+        ).astype(np.float32)
+
+    want, ref_acts = _ref_intermediates(
+        tmodel, torch.tensor(x), torch.tensor(labels)
+    )
+    acts = {}
+    got = np.asarray(score_mlp.apply(
+        params, cfg, jnp.asarray(x), jnp.asarray(labels), intermediates=acts
+    ))
+
+    # the hook on shared_time_embed(Sequential) fires after its SiLU — same
+    # point as score_mlp.time_embedding's return
+    for name, ref_a in ref_acts.items():
+        np.testing.assert_allclose(
+            np.asarray(acts[name]), ref_a, atol=1e-4, rtol=1e-4,
+            err_msg=f"layer {name} diverges from the reference model",
+        )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_ema_shadow_order_matches_reference_parameters(rng):
+    """ema_shadow_to_params must map the REAL module's parameters() order
+    (checkpoint['ema']['shadow_params'] is saved in that order)."""
+    tmodel, cfg, params = make_pair(hidden=128, embed=64)
+    shadow = [p.detach() + 1.0 for p in tmodel.parameters() if p.requires_grad]
+    got = ckpt_lib.ema_shadow_to_params([s.numpy() for s in shadow], cfg)
+    # applying the same +1 through the state-dict converter must agree
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    for name, p in tmodel.named_parameters():
+        if p.requires_grad:
+            sd[name] = p.detach().numpy() + 1.0
+    want = ckpt_lib.params_from_torch_state_dict(sd, cfg)
+    want.pop("sigmas", None)  # buffer, not in the shadow list (ema.py:28-29)
+    got.pop("sigmas", None)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        got, want,
+    )
+
+
+# ------------------------------------------------------------- (a') the SDEs
+def test_sde_parity(rng):
+    R = ref()
+    B = 8
+    x = rng.randn(B, 17, 3).astype(np.float32)
+    t = (rng.rand(B).astype(np.float32) * 0.099 + 0.001)
+    xt, tt = torch.tensor(x), torch.tensor(t)
+    xj, tj = jnp.asarray(x), jnp.asarray(t)
+
+    pairs = [
+        (R.sde_lib.VPSDE(0.1, 20.0, 1000, T=0.1), VPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)),
+        (R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1), SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)),
+        (R.sde_lib.VESDE(0.01, 50.0, 1000, T=0.1), VESDE(sigma_min=0.01, sigma_max=50.0, n=1000, t_max=0.1)),
+    ]
+    for tsde, jsde in pairs:
+        name = type(tsde).__name__
+        fm, fs = tsde.marginal_prob(xt, tt)
+        gm, gs = jsde.marginal_prob(xj, tj)
+        np.testing.assert_allclose(np.asarray(gm), fm.numpy(), atol=1e-6,
+                                   err_msg=f"{name} marginal mean")
+        np.testing.assert_allclose(np.asarray(gs), fs.numpy(), atol=1e-6,
+                                   err_msg=f"{name} marginal std")
+        fd, fg = tsde.sde(xt, tt)
+        gd, gg = jsde.sde(xj, tj)
+        np.testing.assert_allclose(np.asarray(gd), fd.numpy(), atol=1e-6,
+                                   err_msg=f"{name} drift")
+        np.testing.assert_allclose(
+            np.asarray(gg) * np.ones(B), (fg * torch.ones(B)).numpy(),
+            atol=1e-6, err_msg=f"{name} diffusion")
+        ff, fG = tsde.discretize(xt, tt)
+        gf, gG = jsde.discretize(xj, tj)
+        np.testing.assert_allclose(np.asarray(gf), ff.numpy(), atol=1e-6,
+                                   err_msg=f"{name} discretize f")
+        np.testing.assert_allclose(
+            np.asarray(gG) * np.ones(B), (fG * torch.ones(B)).numpy(),
+            atol=1e-6, err_msg=f"{name} discretize G")
+
+
+def test_score_fn_parity(rng):
+    """get_score_fn wrapping (labels=t*999, subVP un-rooted std) vs the
+    reference's utils.py:736-777, through the REAL network."""
+    R = ref()
+    tmodel, cfg, params = make_pair(hidden=128, embed=64)
+    B = 6
+    x = rng.randn(B, 17, 3).astype(np.float32)
+    t = (rng.rand(B).astype(np.float32) * 0.099 + 0.001)
+
+    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+    ref_score = R.autils.get_score_fn(tsde, tmodel, train=False,
+                                      continuous=True)
+    with torch.no_grad():
+        want = ref_score(torch.tensor(x), torch.tensor(t), None, None).numpy()
+
+    jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    model_fn = lambda xx, ll, c, m: score_mlp.apply(params, cfg, xx, ll, c, m)
+    got = np.asarray(
+        score_lib.get_score_fn(jsde, model_fn, continuous=True)(
+            jnp.asarray(x), jnp.asarray(t))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------------ (b) single pc steps
+@pytest.mark.parametrize("predictor", ["euler_maruyama", "reverse_diffusion"])
+def test_zedo_pc_step_matches_reference_pc_sampler(rng, predictor):
+    """One ZeDO sampler invocation (corrector+predictor at external t,
+    sampling.py:450-527) against the real get_pc_sampler, deterministic
+    probability-flow form (the configuration every optim config uses)."""
+    R = ref()
+    tmodel, cfg, params = make_pair(hidden=128, embed=64)
+    B = 6
+    x0 = rng.randn(B, 17, 3).astype(np.float32) * 0.3
+    tval = 0.07
+
+    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+    sampling_fn = R.sampling.get_pc_sampler(
+        sde=tsde, shape=(B, 17, 3),
+        predictor=R.sampling.get_predictor(predictor),
+        corrector=R.sampling.get_corrector("none"),
+        inverse_scaler=lambda v: v, snr=0.16, n_steps=1,
+        probability_flow=True, continuous=True, denoise=True, eps=0.01,
+        device="cpu",
+    )
+    with torch.no_grad():
+        _, want = sampling_fn(
+            tmodel, condition=torch.zeros(B, 17, 2),
+            gradient=None, denoise_x=torch.tensor(x0),
+            t=torch.tensor(tval), t_step=3, args=None,
+        )
+
+    jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=jsde, predictor=predictor, corrector="none",
+                        probability_flow=True, denoise=True, eps=0.01)
+    model_fn = lambda xx, ll, c, m: score_mlp.apply(params, cfg, xx, ll, c, m)
+    score_fn = score_lib.get_score_fn(jsde, model_fn, continuous=True)
+    _, got = sampler.zedo_pc_step(
+        score_fn, jax.random.PRNGKey(0), jnp.asarray(x0), tval,
+        condition=jnp.zeros((B, 17, 2)),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------- geometry + rotation utils
+def test_gradient_field_parity(rng):
+    R = ref()
+    B = 7
+    key3d = rng.randn(B, 17, 3).astype(np.float32) * 0.3
+    key3d[:, :, 2] += 0.1
+    k = np.zeros((B, 3, 3), np.float32)
+    k[:, 0, 0] = k[:, 1, 1] = 1100.0
+    k[:, 0, 2] = k[:, 1, 2] = 480.0
+    k[:, 2, 2] = 1.0
+    key2d = rng.rand(B, 17, 2).astype(np.float32) * 1000.0
+    conf = (rng.rand(B, 17).astype(np.float32) * 1.3)  # exercises clamping
+
+    # solved-T branch (opt_main.py:207)
+    want_g, want_t = R.szo.gradient_field_gen(
+        torch.tensor(key2d), torch.tensor(key3d), torch.tensor(k),
+        conf=torch.tensor(conf.copy()), returnT=True,
+    )
+    got_g, got_t = gf_lib.gradient_field(
+        jnp.asarray(key2d), jnp.asarray(key3d), jnp.asarray(k),
+        conf=jnp.asarray(conf),
+    )
+    np.testing.assert_allclose(np.asarray(got_t), want_t.numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+    # fixed-T branch (opt_main.py:205), no conf
+    t_fix = np.array([[[0.2, -0.1, 3.5]]], np.float32).repeat(B, axis=0)
+    want_g2 = R.szo.gradient_field_gen(
+        torch.tensor(key2d), torch.tensor(key3d), torch.tensor(k),
+        t=torch.tensor(t_fix),
+    )
+    got_g2, _ = gf_lib.gradient_field(
+        jnp.asarray(key2d), jnp.asarray(key3d), jnp.asarray(k),
+        t=jnp.asarray(t_fix),
+    )
+    np.testing.assert_allclose(np.asarray(got_g2), want_g2.numpy(),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_quaternion_to_matrix_parity(rng):
+    R = ref()
+    q = rng.randn(64, 4).astype(np.float32)
+    want = R.autils.quaternion_to_matrix(torch.tensor(q)).numpy()
+    got = np.asarray(quaternion_to_matrix(jnp.asarray(q)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_ema_update_parity(rng):
+    """Reference ExponentialMovingAverage (lib/algorithms/ema.py) vs
+    diffusion/ema.py across warmup updates."""
+    R = ref()
+    torch.manual_seed(1)
+    lin = torch.nn.Linear(8, 8)
+    tema = R.ema.ExponentialMovingAverage(lin.parameters(), decay=0.9999)
+
+    def snap():
+        # .copy(): jnp.asarray zero-copies numpy views on CPU, and the torch
+        # weights are mutated in place below
+        return {"weight": jnp.asarray(lin.weight.detach().numpy().copy()),
+                "bias": jnp.asarray(lin.bias.detach().numpy().copy())}
+
+    state = ema_lib.init(snap(), decay=0.9999)
+    for step in range(5):
+        with torch.no_grad():
+            lin.weight += 0.01 * (step + 1)
+            lin.bias -= 0.02
+        tema.update(lin.parameters())
+        state = ema_lib.update(state, snap())
+    want = [p.numpy() for p in tema.shadow_params]
+    got = ema_lib.params_of(state)
+    np.testing.assert_allclose(np.asarray(got["weight"]), want[0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["bias"]), want[1], atol=1e-6)
+
+
+# --------------------------------------------------- (b) K-step trajectories
+def _scene(rng, n=4, j=17):
+    k = np.zeros((n, 3, 3), np.float32)
+    k[:, 0, 0] = k[:, 1, 1] = 1000.0
+    k[:, 0, 2] = k[:, 1, 2] = 500.0
+    k[:, 2, 2] = 1.0
+    pose = rng.randn(n, j, 3).astype(np.float32) * 0.25
+    pose -= pose[:, 0:1]
+    t = np.zeros((n, 1, 3), np.float32)
+    t[..., 2] = 4.0
+    t[..., 0] = 0.3
+    px = np.asarray(camera_ops.project(jnp.asarray(pose + t), jnp.asarray(k)))
+    return k, pose, t, px
+
+
+def _ref_ipo(R, pose, px, k, iterations, rot_axes="z", keylist=(0, 1, 4),
+             t_norm=3.0, min_s=0.5, max_s=2.0):
+    """The reference IPO driver verbatim (opt_main.py:177-201), driven
+    through the REAL RotOpt module."""
+    device = torch.device("cpu")
+    denoise_x = torch.tensor(pose)
+    condition = torch.tensor(px[:, :, :2])
+    K = torch.tensor(k)
+    pelvis = torch.cat(
+        [condition[:, 0, :], torch.ones((condition.shape[0], 1))], dim=-1)
+    T = torch.inverse(K).bmm(pelvis[:, :, None]).permute(0, 2, 1)
+    T = T / torch.norm(T, dim=-1, keepdim=True) * t_norm
+    rot_opt = R.szo.RotOpt(denoise_x.shape[0], axis=rot_axes,
+                           minT=min_s, maxT=max_s).to(device)
+    optimizer = torch.optim.Adam(rot_opt.parameters(), lr=0.1)
+    criterion = torch.nn.L1Loss(reduction="none")
+    keylist = list(keylist)
+    for _ in range(iterations):
+        optimizer.zero_grad()
+        rot2d = rot_opt(denoise_x[:, keylist, :], T, K)
+        loss = criterion(rot2d[:, :, :2], condition[:, keylist, :2]).mean()
+        loss.backward()
+        optimizer.step()
+    with torch.no_grad():
+        T = T * torch.clamp(rot_opt.scale, min=min_s, max=max_s)
+        rot_mat = rot_opt.generate_matrix()
+    return rot_mat.numpy(), T.numpy()
+
+
+@pytest.mark.parametrize("iterations", [5, 60])
+def test_ipo_trajectory_parity(rng, iterations):
+    k, pose, t_true, px = _scene(rng, n=4)
+    R = ref()
+    want_rot, want_t = _ref_ipo(R, pose, px, k, iterations)
+    cfg = ipo_lib.IPOConfig(iterations=iterations, keypoint_list=(0, 1, 4),
+                            rot_axes="z", t_norm=3.0)
+    got = ipo_lib.run_ipo(jnp.asarray(pose), jnp.asarray(px), jnp.asarray(k),
+                          cfg)
+    np.testing.assert_allclose(np.asarray(got.rot_mat), want_rot,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.translation), want_t,
+                               atol=2e-4, rtol=1e-3)
+
+
+def _ref_oil(R, tmodel, tsde, x0, t0, px, conf, k, iterations, eps=0.01):
+    """The reference OIL loop verbatim (opt_main.py:202-220), driven through
+    the REAL gradient_field_gen + get_pc_sampler + model."""
+    sampling_fn = R.sampling.get_pc_sampler(
+        sde=tsde, shape=x0.shape,
+        predictor=R.sampling.get_predictor("euler_maruyama"),
+        corrector=R.sampling.get_corrector("none"),
+        inverse_scaler=lambda v: v, snr=0.16, n_steps=1,
+        probability_flow=True, continuous=True, denoise=True, eps=eps,
+        device="cpu",
+    )
+    condition = torch.tensor(px[:, :, :2])
+    conf_t = torch.tensor(conf.copy()) if conf is not None else None
+    K = torch.tensor(k)
+    T = torch.tensor(t0)
+    denoise_x = torch.tensor(x0)
+    timestamp = torch.linspace(tsde.T, eps, iterations)
+    with torch.no_grad():
+        for i in range(iterations):
+            if i < iterations // 5:
+                joint_gradient = R.szo.gradient_field_gen(
+                    condition, denoise_x, K, t=T, conf=conf_t, returnT=False)
+            else:
+                joint_gradient, T = R.szo.gradient_field_gen(
+                    condition, denoise_x, K, conf=conf_t, returnT=True)
+            denoise_x += joint_gradient
+            _, results = sampling_fn(
+                tmodel, condition=condition * 0, gradient=joint_gradient,
+                denoise_x=denoise_x, t=timestamp[i], t_step=i, args=None)
+            denoise_x = torch.tensor(results)
+    return denoise_x.numpy()
+
+
+@pytest.mark.parametrize("with_conf", [False, True])
+def test_oil_trajectory_parity(rng, with_conf):
+    R = ref()
+    tmodel, cfg_m, params = make_pair(hidden=128, embed=64)
+    k, pose, t_true, px = _scene(rng, n=4)
+    conf = (rng.rand(4, 17).astype(np.float32) * 1.2) if with_conf else None
+    x0 = (pose + rng.randn(*pose.shape).astype(np.float32) * 0.05)
+    iters = 20
+
+    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+    want = _ref_oil(R, tmodel, tsde, x0, t_true, px, conf, k, iters)
+
+    jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=jsde, predictor="euler_maruyama",
+                        corrector="none", probability_flow=True,
+                        denoise=True, eps=0.01)
+    got = oil_lib.run_oil(
+        params, cfg_m, jsde, sampler, jnp.asarray(x0), jnp.asarray(t_true),
+        jnp.asarray(px), jnp.asarray(k),
+        jnp.asarray(conf) if conf is not None else None,
+        oil_lib.OILConfig(iterations=iters, sampling_eps=0.01),
+    )
+    np.testing.assert_allclose(np.asarray(got.pose), want,
+                               atol=2e-4, rtol=1e-3)
+
+
+# ------------------------------------------------- (c) end-to-end agreement
+def test_end_to_end_solve_metric_parity(rng):
+    """Full reference driver (IPO + OIL, opt_main.py:160-224) vs
+    pipeline.solve at reduced iterations: poses within 0.1mm, MPJPE within
+    0.1mm (BASELINE.md parity bar, proxied on the real reference CODE since
+    real checkpoints don't exist in this environment)."""
+    R = ref()
+    tmodel, cfg_m, params = make_pair(hidden=128, embed=64, seed=3)
+    k, pose_gt, t_true, px = _scene(rng, n=5)
+    cluster = (pose_gt[0] + rng.randn(17, 3).astype(np.float32) * 0.08)
+    ipo_iters, oil_iters = 60, 25
+
+    # --- reference path
+    pose0 = cluster - cluster[0:1]
+    pose0_b = np.broadcast_to(pose0[None], pose_gt.shape).copy()
+    want_rot, want_t = _ref_ipo(R, pose0_b, px, k, ipo_iters)
+    x0_ref = np.einsum("bij,bnj->bni", want_rot, pose0_b).astype(np.float32)
+    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+    want = _ref_oil(R, tmodel, tsde, x0_ref, want_t, px, None, k, oil_iters)
+
+    # --- jax path (the shipped pipeline, single hypothesis)
+    jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=jsde, predictor="euler_maruyama",
+                        corrector="none", probability_flow=True,
+                        denoise=True, eps=0.01)
+    zcfg = pipeline.ZeDOConfig(
+        ipo=ipo_lib.IPOConfig(iterations=ipo_iters, keypoint_list=(0, 1, 4),
+                              rot_axes="z", t_norm=3.0),
+        oil=oil_lib.OILConfig(iterations=oil_iters, sampling_eps=0.01),
+    )
+    res = pipeline.solve(params, cfg_m, jsde, sampler, zcfg,
+                         jnp.asarray(cluster[None]), jnp.asarray(px), None,
+                         jnp.asarray(k))
+    got = np.asarray(res.poses[:, 0])
+
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
+    mpjpe_ref = np.linalg.norm(want - pose_gt, axis=-1).mean()
+    mpjpe_got = np.linalg.norm(got - pose_gt, axis=-1).mean()
+    assert abs(mpjpe_ref - mpjpe_got) < 1e-4  # 0.1mm in meters

@@ -141,10 +141,13 @@ def apply_with_temb(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     precision=None,
+    intermediates: Optional[dict] = None,
 ) -> jax.Array:
     """Trunk forward given a precomputed shared time embedding.
 
     batch: [B, j, d]; temb: [B, embed] or [embed] (broadcast over batch).
+    intermediates: optional dict filled with named per-layer activations
+    (eager diagnostic/parity use only — under jit it would collect tracers).
     """
     bs = batch.shape[0]
     x = batch.reshape(bs, -1)
@@ -156,10 +159,15 @@ def apply_with_temb(
     def drop(v):
         return nn.dropout(v, cfg.dropout, train, next(drop_keys) if train else None)
 
+    def rec(name, v):
+        if intermediates is not None:
+            intermediates[name] = v
+
     g = cfg.group_norm_groups
     h = nn.linear(params["pre_dense"], x, precision)
     h = h + nn.linear(params["pre_dense_t"], temb, precision)
     h = nn.group_norm(params["pre_gnorm"], h, g)
+    rec("pre_gnorm", h)
     h = nn.silu(h)
     h = drop(h)
 
@@ -167,12 +175,14 @@ def apply_with_temb(
         h1 = nn.linear(params[f"b{idx + 1}_dense1"], h, precision)
         h1 = h1 + nn.linear(params[f"b{idx + 1}_dense1_t"], temb, precision)
         h1 = nn.group_norm(params[f"b{idx + 1}_gnorm1"], h1, g)
+        rec(f"b{idx + 1}_gnorm1", h1)
         h1 = nn.silu(h1)
         h1 = drop(h1)
 
         h2 = nn.linear(params[f"b{idx + 1}_dense2"], h1, precision)
         h2 = h2 + nn.linear(params[f"b{idx + 1}_dense2_t"], temb, precision)
         h2 = nn.group_norm(params[f"b{idx + 1}_gnorm2"], h2, g)
+        rec(f"b{idx + 1}_gnorm2", h2)
         h2 = nn.silu(h2)
         h2 = drop(h2)
 
@@ -197,6 +207,7 @@ def apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     precision=None,
+    intermediates: Optional[dict] = None,
 ) -> jax.Array:
     """Full forward (model.py:215-297). condition/mask are accepted and
     ignored, as in the reference's unconditional model."""
@@ -206,7 +217,10 @@ def apply(
     else:
         used_sigmas = params["sigmas"][t_labels.astype(jnp.int32)]
     temb = time_embedding(params, cfg, t_labels)
+    if intermediates is not None:
+        intermediates["temb"] = temb
     return apply_with_temb(
         params, cfg, batch, temb,
         used_sigmas=used_sigmas, train=train, rng=rng, precision=precision,
+        intermediates=intermediates,
     )
