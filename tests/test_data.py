@@ -145,6 +145,61 @@ def test_pw3d_reader_and_eval(tmp_path, rng):
     assert epa < 1e-5  # constant offset removed by alignment
 
 
+def test_pw3d_seq5678_eval_gt_selection(tmp_path, rng):
+    """seq5678 selects the h36m-format gt_dataset as the single-hypothesis
+    eval GT source; without it the h36m_test.pkl fallback loads from the
+    dataset root (pw3d.py:239-248)."""
+    import pickle
+
+    n = 6
+    kp3d = rng.randn(n, 17, 3).astype(np.float32) * 0.3
+    root = np.zeros((n, 3), np.float32)
+    root[:, 2] = 5.0
+    np.savez(
+        tmp_path / "pw3d_test.npz",
+        keypoints3d17_relative=kp3d,
+        root_cam=root,
+        cam_param=np.array(
+            {"f": np.full((n, 2), 1000.0), "c": np.full((n, 2), 500.0)},
+            dtype=object,
+        ),
+        image_width=np.full(n, 1000),
+        image_height=np.full(n, 1000),
+        image_path=np.array([f"im{i}" for i in range(n)]),
+    )
+    items = [
+        {"joint_3d_camera": rng.randn(17, 3) * 200 + [0, 0, 4000],
+         "action": 2 + (i % 3)}
+        for i in range(n)
+    ]
+    with open(tmp_path / "h36m_test.pkl", "wb") as f:
+        pickle.dump(items, f)
+
+    gt = np.array([it["joint_3d_camera"] for it in items])
+    gt = (gt - gt[:, 0:1]) / 1000.0
+    preds = gt + 0.02
+
+    # fallback path: no seq5678 -> loads h36m_test.pkl from the root
+    ds = PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True)
+    e = ds.eval(preds, protocol2=False)
+    assert abs(e - 0.02 * np.sqrt(3)) < 1e-4
+
+    # seq5678 path: the caller-populated gt_dataset wins
+    ds2 = PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True,
+               seq5678=True)
+    ds2.gt_dataset = items
+    e2 = ds2.eval(preds, protocol2=False)
+    assert abs(e2 - e) < 1e-8
+    # seq5678 without gt_dataset: clear error instead of the reference's
+    # unset-attribute crash
+    ds3 = PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True,
+               seq5678=True)
+    with pytest.raises(ValueError):
+        ds3.eval(preds)
+    # seq1 accepted and inert, as in the reference
+    PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True, seq1=True)
+
+
 def test_ski_reader_and_eval(tmp_path, rng):
     import h5py
 
@@ -381,11 +436,22 @@ def test_mpii3dhp_detected_2d_branch(tmp_path, rng):
     assert ds.db_2d.shape[1] == 17
     # slot 10 zero-filled by the 16->17 mapping
     np.testing.assert_array_equal(ds.db_3d[:, 10], 0)
-    # dt camera table spans sum(DT_LEN) with the hard-coded intrinsics
-    from zedo_tpu.data.mpii3dhp import DT_LEN, MPII_K
-    assert ds.camera_param.shape[0] == sum(DT_LEN)
+    # dt camera table is row-aligned with the post-drop frames: one K row per
+    # surviving frame, per-sequence intrinsics (the reference built it from
+    # the un-dropped totals and misaligned everything past TS3 — VERDICT r1)
+    from zedo_tpu.data.mpii3dhp import MPII_K
+    assert ds.camera_param.shape[0] == expected_n
     assert ds.camera_param[0, 0, 0] == np.float32(MPII_K[0]["fx"])
+    # boundary check: first TS3 row (after TS1+TS2) carries TS3 intrinsics
+    ts3_start = 6 + 5
+    assert ds.camera_param[ts3_start, 0, 0] == np.float32(MPII_K[2]["fx"])
+    assert ds.camera_param[ts3_start - 1, 0, 0] == np.float32(MPII_K[1]["fx"])
+    # last row carries TS6 intrinsics
+    assert ds.camera_param[-1, 0, 0] == np.float32(MPII_K[5]["fx"])
     # detected-branch eval: head joint pinned to GT, whole-set mean
     preds = ds.db_3d[:, None] + 0.02
     e = ds.eval_multi(preds, protocol2=False)
     assert np.isfinite(e)
+    # arrays() hands the solver aligned tensors
+    cond, conf, k = ds.arrays()
+    assert len(cond) == len(k) == expected_n

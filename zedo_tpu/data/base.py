@@ -105,6 +105,7 @@ class PoseDataset:
         self.camera_param: Optional[np.ndarray] = None
 
         self.read_data()
+        self._check_alignment()
 
         if self.sample_interval:
             self._sample(self.sample_interval)
@@ -117,6 +118,23 @@ class PoseDataset:
     # -- subclass hooks ------------------------------------------------------
     def read_data(self):
         raise NotImplementedError
+
+    def _check_alignment(self):
+        """Universal invariant: every per-frame table a solver consumes must
+        have the same row count, or `arrays()` would hand the solver 2D rows
+        paired with the wrong intrinsics (the reference's detected-2D 3DHP
+        branch violates this, mpii3dHP.py:327-338 vs :586-610)."""
+        n = len(self.db_2d)
+        assert len(self.db_3d) == n, (
+            f"{type(self).__name__}: db_3d has {len(self.db_3d)} rows, "
+            f"db_2d has {n}"
+        )
+        if self.camera_param is not None:
+            assert len(self.camera_param) == n, (
+                f"{type(self).__name__}: camera_param has "
+                f"{len(self.camera_param)} rows, db_2d has {n} — intrinsics "
+                "misaligned with frames"
+            )
 
     def _strided_fields(self) -> list[str]:
         """Attribute names strided by `_sample`."""

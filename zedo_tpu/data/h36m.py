@@ -20,6 +20,29 @@ H36M_ACTIONS = list(range(2, 17))
 
 
 class H36MDataset3D(PoseDataset):
+    """seq5678/seq1 mirror the reference ctor flags: seq5678 forces the eval
+    GT source to this instance's own `gt_dataset` (h36m.py:275,375); seq1 is
+    accepted and read by nothing, as there."""
+
+    def __init__(self, *args, seq1=False, seq5678=False, **kwargs):
+        self.seq1 = seq1
+        self.seq5678 = seq5678
+        super().__init__(*args, **kwargs)
+
+    def _eval_gt_items(self):
+        """Eval GT source selection (h36m.py:275-283): the own `gt_dataset`
+        on the test subset (or when seq5678 forces it); otherwise the
+        reference falls back to loading `h36m_test.pkl` from the dataset
+        root. HAZARD (preserved, documented): on a non-test subset without
+        seq5678 that fallback evaluates predictions against TEST-set GT —
+        only meaningful when the prediction batch really is the test set."""
+        if (self.subset == "test" and self.gt_dataset) or self.seq5678:
+            return self.gt_dataset
+        file_path = os.path.join(self.root_path, "h36m_test.pkl")
+        print("loading h36m_test.pkl")
+        with open(file_path, "rb") as f:
+            return pickle.load(f)
+
     def read_data(self):
         file_name = "h36m_%s.pkl" % self.subset
         print("loading %s" % file_name)
@@ -83,11 +106,18 @@ class H36MDataset3D(PoseDataset):
     def eval(self, preds, protocol2=False, print_verbose=False, sample_interval=None):
         """Action-wise (PA-)MPJPE, single hypothesis (h36m.py:265-319)."""
         print("eval...")
+        gt_items = self._eval_gt_items()
+        assert len(preds) == len(gt_items)
         if sample_interval is not None:
             preds = preds[::sample_interval]
+        gt = np.array(
+            [item["joint_3d_camera"] for item in gt_items], dtype=np.float64
+        )
+        gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
+        actions = np.array([item["action"] for item in gt_items])
         report = evaluation.single_eval(
-            np.asarray(preds), self._gt_for_eval(), protocol2=protocol2,
-            actions=self.actions, action_order=H36M_ACTIONS,
+            np.asarray(preds), gt, protocol2=protocol2,
+            actions=actions, action_order=H36M_ACTIONS,
         )
         if print_verbose:
             evaluation.print_action_table("H36M", protocol2, report.per_action, report.error)
@@ -113,20 +143,38 @@ class H36MDataset3D(PoseDataset):
 
     def eval_multi(self, preds, protocol2=False, print_verbose=False,
                    sample_interval=None, valid_ind=None):
-        """Action-wise (PA-)MPJPE, min over hypotheses (h36m.py:365-442)."""
+        """Action-wise (PA-)MPJPE, min over hypotheses (h36m.py:365-442).
+        GT source selection as in `eval` (h36m.py:375-383)."""
         print("eval multi-hypothesis...")
+        gt_items = self._eval_gt_items()
         if sample_interval is not None:
             preds = preds[::sample_interval]
         preds = np.asarray(preds)
-        assert len(preds) == len(self.gt_dataset)
-        report = evaluation.multi_hypothesis_eval(
-            preds, self._gt_for_eval(), protocol2=protocol2,
-            actions=self.actions, action_order=H36M_ACTIONS,
+        assert len(preds) == len(gt_items)
+        gt = np.array(
+            [item["joint_3d_camera"] for item in gt_items], dtype=np.float64
         )
+        gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
+        actions = np.array([item["action"] for item in gt_items])
+        report = evaluation.multi_hypothesis_eval(
+            preds, gt, protocol2=protocol2,
+            actions=actions, action_order=H36M_ACTIONS,
+        )
+        # parity note: the reference prints "maximum MPJPE error" here
+        # (h36m.py:423) but its tracker actually records the MINIMUM —
+        # `max_error = 1000` updated on `results[-1] < max_error`
+        # (h36m.py:391,413) — i.e. the best case, reported under a wrong
+        # label. Best-case with an honest label IS behavioral parity; the
+        # genuine worst case is added as an extra diagnostic.
         best = int(np.argmin(report.per_sample_min))
+        worst = int(np.argmax(report.per_sample_min))
         print(
             f"best-case MPJPE: {report.per_sample_min[best]} at sample {best}, "
             f"hypothesis {report.min_hypothesis[best]}"
+        )
+        print(
+            f"worst-case MPJPE: {report.per_sample_min[worst]} at sample "
+            f"{worst}, hypothesis {report.min_hypothesis[worst]}"
         )
         if print_verbose:
             evaluation.print_action_table("H36M", protocol2, report.per_action, report.error)

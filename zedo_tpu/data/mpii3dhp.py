@@ -91,9 +91,16 @@ class MPII3DHP(PoseDataset):
                 l3[:, 0:10] = labels_3d[:, 0:10]
                 l3[:, 11:] = labels_3d[:, 10:]
                 labels_3d = l3
-            camera_params = np.zeros((sum(DT_LEN), 3, 3), dtype=np.float32)
+            # one K row per surviving frame: sequence lengths are taken from
+            # the arrays AFTER the TS3/TS4 100-frame drops, so intrinsics
+            # stay aligned with their frames. (The reference builds the table
+            # from the un-dropped DT_LEN totals — mpii3dHP.py:328-338 — which
+            # misaligns every row past the first drop boundary; the aligned
+            # table is the evident intent of pairing MPII_K with fetch_3dhp.)
+            seq_lens = [len(a) for a in labels_3d_list]
+            camera_params = np.zeros((sum(seq_lens), 3, 3), dtype=np.float32)
             prev = 0
-            for num, length in enumerate(DT_LEN):
+            for num, length in enumerate(seq_lens):
                 cam_p = MPII_K[num]
                 camera_params[prev : prev + length, 0, 0] = cam_p["fx"]
                 camera_params[prev : prev + length, 1, 1] = cam_p["fy"]

@@ -24,9 +24,13 @@ JOINTS_14 = list(range(1, 7)) + [8] + list(range(10, 17))
 
 
 class PW3D(PoseDataset):
+    """seq5678 selects the single-hypothesis eval's GT source (pw3d.py:239);
+    seq1 is accepted and — exactly as in the reference — read by nothing."""
+
     def __init__(self, *args, seq1=False, seq5678=False, **kwargs):
         self.seq1 = seq1
         self.seq5678 = seq5678
+        self.gt_dataset = None  # optional caller-set h36m-format GT items
         super().__init__(*args, **kwargs)
 
     def order_change(self, data):
@@ -78,6 +82,51 @@ class PW3D(PoseDataset):
 
     def _strided_fields(self):
         return ["db_2d", "db_3d", "camera_param", "w", "h", "image_name"]
+
+    def eval(self, preds, protocol2=False, print_verbose=False,
+             sample_interval=None):
+        """Single-hypothesis action-wise eval (pw3d.py:230-283).
+
+        GT source selection mirrors pw3d.py:239: `seq5678=True` (or a
+        caller-populated `gt_dataset` on the test subset) evaluates against
+        the h36m-format `gt_dataset` items; otherwise the reference's
+        fallback — loading `h36m_test.pkl` from the dataset root — is
+        preserved. (In the reference, seq5678 with no gt_dataset crashes on
+        the unset attribute; here it raises a clear error.)
+        """
+        import pickle
+
+        print("eval...")
+        if (self.subset == "test" and self.gt_dataset) or self.seq5678:
+            dataitem_gt = self.gt_dataset
+            if not dataitem_gt:
+                raise ValueError(
+                    "seq5678=True requires gt_dataset to be populated with "
+                    "h36m-format GT items (pw3d.py:239)"
+                )
+        else:
+            file_path = os.path.join(self.root_path, "h36m_test.pkl")
+            print("loading h36m_test.pkl")
+            with open(file_path, "rb") as f:
+                dataitem_gt = pickle.load(f)
+
+        assert len(preds) == len(dataitem_gt)
+        if sample_interval is not None:
+            preds = preds[::sample_interval]
+        gt = np.array(
+            [item["joint_3d_camera"] for item in dataitem_gt], dtype=np.float64
+        )
+        gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
+        actions = np.array([item["action"] for item in dataitem_gt])
+        report = evaluation.single_eval(
+            np.asarray(preds), gt, protocol2=protocol2,
+            actions=actions, action_order=list(range(2, 17)),
+        )
+        if print_verbose:
+            evaluation.print_action_table(
+                "H36M", protocol2, report.per_action, report.error
+            )
+        return report.error
 
     def eval_multi(self, preds, protocol2=False, print_verbose=False,
                    sample_interval=None, valid_ind=None, joint=17):
