@@ -40,7 +40,16 @@ def build_inputs(n=886, s=50, j=17, seed=0):
     return px, conf, k, clusters
 
 
+def _arg(name, default):
+    if name in sys.argv:
+        return int(sys.argv[sys.argv.index(name) + 1])
+    return default
+
+
 def main():
+    from zedo_tpu.utils.config import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -50,7 +59,9 @@ def main():
     from zedo_tpu.parallel.mesh import default_mesh
     from zedo_tpu.zeroshot import pipeline
 
-    n, s = 886, 50
+    # --n 1716 = the largest published split (Ski, configs/optim/
+    # concat_pose_optimization_ski.py:79-80); default = the H36M headline
+    n, s = _arg("--n", 886), _arg("--s", 50)
     # default = the flagship config: bf16 weights + fused pallas score kernel
     dtype = "fp32" if "--fp32" in sys.argv else "bf16"
     px, conf, k, clusters = build_inputs(n=n, s=s)
@@ -99,8 +110,10 @@ def main():
     elapsed = time.time() - t0
     assert np.isfinite(checksum), checksum
 
+    metric = ("h36m_s50_eval_wallclock" if (n, s) == (886, 50)
+              else f"eval_wallclock_n{n}_s{s}")
     result = {
-        "metric": "h36m_s50_eval_wallclock",
+        "metric": metric,
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(60.0 / elapsed, 3),
@@ -110,6 +123,7 @@ def main():
             "dtype": dtype,
             "devices": len(jax.devices()),
             "device_kind": jax.devices()[0].device_kind,
+            "compilation_cache": cache_dir or "disabled",
         },
     }
     print(json.dumps(result))

@@ -161,15 +161,26 @@ def test_trainer_loop(tmp_path, rng):
         db_3d = rng.randn(64, 17, 3).astype(np.float32) * 0.1
         db_2d = np.zeros((64, 17, 2), np.float32)
 
+    class FakeTestDS:
+        db_3d = rng.randn(16, 17, 3).astype(np.float32) * 0.1
+        gt_dataset = None
+
     model_cfg = make_mlp_config(config, n_joints=17).__class__(
         n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
         embedding_type="positional", num_scales=100,
     )
+    logs = []
     state, history = trainer.train_loop(
-        config, FakeDS(), output_dir=str(tmp_path / "out"),
+        config, FakeDS(), test_dataset=FakeTestDS(),
+        output_dir=str(tmp_path / "out"),
         model_cfg=model_cfg,
         trainer_cfg=trainer.TrainerConfig(n_epochs=3, eval_freq=2, seed=0),
+        logger=types.SimpleNamespace(info=logs.append),
     )
+    # the held-out set produces a validation MPJPE at each eval epoch
+    eval_lines = [l for l in logs if "eval MPJPE" in l]
+    assert len(eval_lines) == 2  # epochs 0 and 2
+    assert all(np.isfinite(float(l.rsplit(":", 1)[1])) for l in eval_lines)
     assert int(state.step) == 3 * 2  # 64/32 = 2 steps per epoch
     assert np.isfinite(history).all()
     # checkpoint + eval samples written at epochs 0 and 2

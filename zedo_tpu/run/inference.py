@@ -36,8 +36,9 @@ def parse_args(argv):
 
 def main(args):
     config = FLAGS.config
-    from zedo_tpu.utils.config import apply_overrides
+    from zedo_tpu.utils.config import apply_overrides, enable_compilation_cache
 
+    enable_compilation_cache()
     apply_overrides(config, getattr(args, "override", []))
     dataset = build_dataset(config, args)
     batch_results = run_pipeline(config, args, dataset)

@@ -68,6 +68,9 @@ def get_datasets(config):
 
 
 def main(args):
+    from zedo_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

@@ -52,6 +52,9 @@ def parse_args(argv):
 
 
 def main(args):
+    from zedo_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

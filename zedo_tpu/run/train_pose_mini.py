@@ -71,8 +71,9 @@ def build_train_dataset(config, args):
 
 def main(args):
     config = FLAGS.config
-    from zedo_tpu.utils.config import apply_overrides
+    from zedo_tpu.utils.config import apply_overrides, enable_compilation_cache
 
+    enable_compilation_cache()
     apply_overrides(config, getattr(args, "override", []))
     from zedo_tpu.models.registry import make_mlp_config
     from zedo_tpu.train import trainer

@@ -50,6 +50,9 @@ class ZeDOEstimator:
         use_ema: bool = False,
         batch_bucket: int = 256,
     ) -> "ZeDOEstimator":
+        from zedo_tpu.utils.config import enable_compilation_cache
+
+        enable_compilation_cache()
         import jax
         import jax.numpy as jnp
 

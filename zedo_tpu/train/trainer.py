@@ -298,6 +298,35 @@ def train_loop(
             results = np.asarray(results) / trainer_cfg.data_scale
             np.save(os.path.join(output_dir, f"results_{epoch}.npy"), results)
 
+            if test_dataset is not None:
+                # validation signal over time: prior samples scored against
+                # the held-out set. The reference iterates its test_loader at
+                # eval time but only saves the samples (train_pose_mini.py:
+                # 365-387) despite shipping dataset_eval (:96-146) for
+                # exactly this — wired up here so training runs are
+                # self-evaluating (VERDICT r1 #6).
+                import types as _types
+
+                gt_items = getattr(test_dataset, "gt_dataset", None)
+                if gt_items:
+                    m = min(len(results), len(gt_items))
+                    val_err = dataset_eval(
+                        results[:m],
+                        _types.SimpleNamespace(gt_dataset=list(gt_items)[:m]),
+                    )
+                else:
+                    gt = np.asarray(test_dataset.db_3d, np.float32)
+                    gt = gt - gt[:, 0:1]
+                    m = min(len(results), len(gt))
+                    pred = results[:m] - results[:m, 0:1]
+                    val_err = float(
+                        np.linalg.norm(pred - gt[:m], axis=-1).mean()
+                    )
+                log(f"EPOCH: [{epoch}] eval MPJPE (prior samples vs "
+                    f"test set): {val_err}")
+                if writer is not None:
+                    writer.add_scalar("Eval/mpjpe", val_err, epoch)
+
             ckpt_lib.save_native(
                 os.path.join(output_dir, f"checkpoint_{epoch}"), _ckpt_payload(epoch)
             )
