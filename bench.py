@@ -78,6 +78,12 @@ def main():
     sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
                         probability_flow=True, denoise=True, eps=0.01)
     zcfg = pipeline.ZeDOConfig()  # 500 IPO / 1000 OIL, h36m keylist
+    reuse = _arg("--reuse", 1)  # opt-in NFE reduction (OILConfig.score_reuse)
+    if reuse > 1:
+        import dataclasses
+
+        zcfg = dataclasses.replace(
+            zcfg, oil=dataclasses.replace(zcfg.oil, score_reuse=reuse))
 
     mesh = default_mesh()
     # shard_map needs N divisible by the device count (pad-and-mask like the

@@ -140,6 +140,46 @@ def test_trained_prior_beats_no_prior(trained_prior):
     assert err_prior < 150.0
 
 
+def test_score_reuse_accuracy_characterization(trained_prior):
+    """score_reuse=2 (half the score-net NFE) against exact dynamics on the
+    trained-prior family: the accuracy cost must be a small fraction of the
+    prior's own gain (VERDICT r1 #4's characterization ask). Numbers land in
+    the test log; the bound is the acceptance gate for shipping reuse as an
+    opt-in speed knob."""
+    cfg, params, family = trained_prior
+    rng = np.random.RandomState(13)
+    gt, k, px, clusters = _make_scene(family, rng, n=32)
+
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=True, denoise=True, eps=0.01)
+
+    def run(reuse):
+        zcfg = pipeline.ZeDOConfig(
+            ipo=ipo_lib.IPOConfig(iterations=200, keypoint_list=(0, 1, 4),
+                                  rot_axes="z", t_norm=4.0),
+            oil=oil_lib.OILConfig(iterations=400, sampling_eps=0.01,
+                                  score_reuse=reuse),
+        )
+        res = pipeline.solve(params, cfg, sde, sampler, zcfg,
+                             jnp.asarray(clusters), jnp.asarray(px), None,
+                             jnp.asarray(k),
+                             precision=jax.lax.Precision.HIGHEST)
+        return np.asarray(res.poses)[:, 0]
+
+    pred1 = run(1)
+    pred2 = run(2)
+    err1 = _mpjpe(pred1, gt)
+    err2 = _mpjpe(pred2, gt)
+    init_err = _mpjpe(np.broadcast_to(clusters[0], gt.shape), gt)
+    print(f"MPJPE exact (reuse=1) {err1:.1f}mm | reuse=2 {err2:.1f}mm | "
+          f"init {init_err:.1f}mm")
+    # reuse=2 must keep >=80% of the exact pipeline's improvement over init
+    assert err2 < err1 + 0.2 * (init_err - err1)
+    # and stay pointwise close to the exact trajectory family
+    assert abs(err2 - err1) < 25.0  # mm
+
+
 def test_multi_hypothesis_improves(trained_prior):
     """Clusters from make_clusters + min-over-hypotheses beats 1 hypothesis."""
     from tools.make_clusters import make_clusters

@@ -67,10 +67,15 @@ def _pad_to(x: np.ndarray, rows: int | None = None, cols: int | None = None):
     return out
 
 
-def pack_weights(params: dict, cfg, dtype=jnp.bfloat16) -> PackedScoreWeights:
+def pack_weights(params: dict, cfg, dtype=jnp.bfloat16,
+                 gn_dtype=None) -> PackedScoreWeights:
     """Convert a ScoreMLP params pytree (torch [out, in] layout) into the
     kernel's padded input-major layout. Traceable (pure jnp on the params),
-    so it can run under the jitted solve; XLA constant-folds/hoists it."""
+    so it can run under the jitted solve; XLA constant-folds/hoists it.
+
+    gn_dtype controls the GroupNorm stats/broadcast matmul precision inside
+    the kernel (defaults to `dtype`; pass jnp.float32 for exact-GN mode)."""
+    gn_dtype = gn_dtype or dtype
     assert cfg.n_blocks == 2, "kernel specializes the shipped 2-block config"
     h = cfg.hidden_dim
     io = cfg.n_joints * cfg.joint_dim
@@ -129,7 +134,8 @@ def pack_weights(params: dict, cfg, dtype=jnp.bfloat16) -> PackedScoreWeights:
         gn_bias=gn_bias,
         bias_post=bias_post,
         t_proj_w=as_dt(t_proj_w), t_proj_b=t_proj_b,
-        ind=as_dt(ind), bcast_scaled=bcast_scaled.astype(jnp.float32),
+        ind=jnp.asarray(ind, gn_dtype),
+        bcast_scaled=bcast_scaled.astype(gn_dtype),
     )
 
 
@@ -150,13 +156,27 @@ def _gn_silu(centered_f32, ind, bcast_scaled, bias, eps=1e-5):
     pack_weights), so only the variance reduction runs here: one stats
     matmul + one broadcast matmul on the MXU. The per-channel GN scale is
     folded into the broadcast matrix (bcast_scaled[g, c] = gn_scale[c] at
-    group members), saving a VPU pass per GN."""
-    var_g = jnp.dot(centered_f32 * centered_f32, ind.astype(jnp.float32),
+    group members), saving a VPU pass per GN.
+
+    The two GN matmuls run in the dtype `ind`/`bcast_scaled` were packed in
+    (pack_weights gn_dtype). At bf16 they run at full MXU rate — an f32
+    matmul costs ~6-8x on the MXU, and these 10 [T,H]x[H,128] matmuls at f32
+    were ~2x the cost of the four main [H,H] bf16 matmuls combined (the
+    round-1 roofline gap). Accumulation stays f32; the bf16 rounding enters
+    only through the squared activations and the final rstd*scale factor
+    (~2^-9 relative), measured at +0.02mm on the full pipeline
+    (tools/validate_dtype.py)."""
+    sq = centered_f32 * centered_f32
+    var_g = jnp.dot(sq.astype(ind.dtype), ind,
                     preferred_element_type=jnp.float32)
-    rstd_scale_c = jnp.dot(jax.lax.rsqrt(var_g + eps), bcast_scaled,
+    rstd = jax.lax.rsqrt(var_g + eps)
+    rstd_scale_c = jnp.dot(rstd.astype(bcast_scaled.dtype), bcast_scaled,
                            preferred_element_type=jnp.float32)
     xn = centered_f32 * rstd_scale_c + bias
-    return xn * jax.nn.sigmoid(xn)  # SiLU
+    # SiLU via tanh: sigmoid(x) == 0.5 + 0.5*tanh(x/2) exactly; Mosaic's
+    # tanh lowering costs ~0.07ms/step/GN less than logistic on v5e
+    # (tools/bench_kernel.py --probe: full 3.29 -> tanh 2.95 ms/step)
+    return xn * (0.5 * jnp.tanh(0.5 * xn) + 0.5)
 
 
 def _kernel(x_ref, wpre_ref, wb1_ref, wb2_ref, wb3_ref, wb4_ref, wpost_ref,
