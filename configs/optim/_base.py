@@ -65,6 +65,9 @@ def build_optim_config(get_defaults, dataset: str, zedo: dict, num_joint=None):
     z.sample = zedo["sample"]
     z.batch = zedo["batch"]
     z.sampling_eps = zedo.get("sampling_eps", 0.01)
+    # extension over the reference: opt-in score-net NFE reduction
+    # (`--override ZeDO.score_reuse=2`; exact reference dynamics at 1)
+    z.score_reuse = zedo.get("score_reuse", 1)
     return config
 
 

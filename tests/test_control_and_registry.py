@@ -98,6 +98,7 @@ def test_all_optim_configs_load():
         assert c.ZeDO.IPO_iterations == 500
         assert c.ZeDO.OIL_iterations == 1000
         assert c.ZeDO.sampling_eps == 0.01
+        assert c.ZeDO.score_reuse == 1  # exact reference dynamics by default
     # infant defaults
     mini = importlib.import_module("configs.optim.concat_pose_optimization_mini").get_config()
     assert mini.DATASET.NUM_JOINT == 17

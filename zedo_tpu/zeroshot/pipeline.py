@@ -50,6 +50,10 @@ class ZeDOConfig:
             oil=OILConfig(
                 iterations=z.OIL_iterations,
                 sampling_eps=z.sampling_eps,
+                # opt-in NFE reduction, reachable from any CLI via
+                # `--override ZeDO.score_reuse=2` (exact dynamics at 1;
+                # +0.1mm characterized at 2 — test_system_synthetic.py)
+                score_reuse=int(z.get("score_reuse", 1)),
             ),
         )
 
