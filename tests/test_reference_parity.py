@@ -309,6 +309,115 @@ def test_zedo_pc_step_matches_reference_pc_sampler(rng, predictor):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
 
 
+# ------------------------------------------------------ ControlNet adapter
+def test_control_model_parity(rng):
+    """The real Control_ScoreModelFC_Adv (lib/algorithms/advanced/
+    control_model.py:97-382) vs control_mlp.apply through a converted state
+    dict — covers the trunk/copy dataflow, the zc bridges, infant_cond, and
+    the checked-in dense2_t-overwrite quirk (:341)."""
+    from zedo_tpu.models import control_mlp
+
+    R = ref()
+    torch.manual_seed(5)
+    config = ref_config("positional", False)
+    tmodel = R.model.__dict__  # noqa: F841 — keep namespace import explicit
+    import lib.algorithms.advanced.control_model as ref_cm
+
+    cm = ref_cm.Control_ScoreModelFC_Adv(
+        config, n_joints=12, joint_dim=3, hidden_dim=128, embed_dim=64,
+        cond_dim=2, n_blocks=2,
+    )
+    cm.eval()
+    cfg = score_mlp.ScoreMLPConfig(
+        n_joints=12, joint_dim=3, hidden_dim=128, embed_dim=64, n_blocks=2,
+        embedding_type="positional",
+    )
+    sd = {k: v.detach().numpy() for k, v in cm.state_dict().items()}
+    params = ckpt_lib.params_from_torch_state_dict(sd, cfg)
+
+    B = 8
+    x = rng.randn(B, 12, 3).astype(np.float32)
+    labels = (rng.rand(B).astype(np.float32) * 0.099 + 0.001) * 999.0
+    with torch.no_grad():
+        want = cm(torch.tensor(x), torch.tensor(labels), None).numpy()
+    got = np.asarray(
+        control_mlp.apply(params, cfg, jnp.asarray(x), jnp.asarray(labels))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # freeze-set parity: exactly the copy/zc/infant_cond leaves train
+    # (control_model.py:224-232 freeze())
+    cm.freeze()
+    ref_trainable = {n for n, p in cm.named_parameters() if p.requires_grad}
+    mask = control_mlp.trainable_mask(params)
+    mine_trainable = {
+        k for k, v in ckpt_lib.tree_to_flat(mask).items() if v
+    }
+    # my mask marks both weight+bias leaves under each trainable module
+    ref_modules = {n.rsplit(".", 1)[0] if "." in n else n
+                   for n in ref_trainable}
+    mine_modules = {k.rsplit(".", 1)[0] if "." in k else k
+                    for k in mine_trainable}
+    assert mine_modules == ref_modules
+
+    # init_control_params copies trunk -> copy branch exactly like
+    # init_weight (control_model.py:235-261)
+    fresh = control_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    copied = control_mlp.init_control_params(fresh, cfg)
+    for name in ("pre_dense", "pre_dense_t", "pre_gnorm",
+                 "b1_dense1", "b1_gnorm2", "b2_dense2_t"):
+        np.testing.assert_array_equal(
+            np.asarray(copied[f"{name}_copy"]["weight"]),
+            np.asarray(copied[name]["weight"]),
+        )
+
+
+def test_ode_sampler_parity(rng):
+    """PF-ODE transport through the real reference components (get_score_fn,
+    reverse SDE, scipy RK45) vs diffusion/ode.ODESampler from the same
+    latent. The reference's shipped ode_sampler glue is bit-rotten (drift_fn
+    drops `condition`/`mask` — sampling.py:561-565,575 — and crashes), so the
+    harness integrates the same drift with those arguments supplied, which is
+    the evident intent."""
+    from scipy import integrate
+
+    from zedo_tpu.diffusion.ode import ODESampler
+
+    R = ref()
+    tmodel, cfg, params = make_pair(hidden=128, embed=64, seed=2)
+    B = 4
+    shape = (B, 17, 3)
+    z = rng.randn(*shape).astype(np.float32)
+
+    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+    ref_score = R.autils.get_score_fn(tsde, tmodel, train=False,
+                                      continuous=True)
+    rsde = tsde.reverse(ref_score, probability_flow=True)
+
+    def ode_func(t, flat):
+        with torch.no_grad():
+            x = torch.tensor(flat.reshape(shape), dtype=torch.float32)
+            vec_t = torch.ones(B) * float(t)
+            drift = rsde.sde(x, vec_t, None, None)[0]
+        return drift.numpy().reshape(-1).astype(np.float64)
+
+    sol = integrate.solve_ivp(ode_func, (tsde.T, 1e-3),
+                              z.reshape(-1).astype(np.float64),
+                              rtol=1e-7, atol=1e-7, method="RK45")
+    want = sol.y[:, -1].reshape(shape).astype(np.float32)
+
+    jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    model_fn = lambda xx, ll, c, m: score_mlp.apply(params, cfg, xx, ll, c, m)
+    score_fn = score_lib.get_score_fn(jsde, model_fn, continuous=True)
+    sampler = ODESampler(sde=jsde, shape=shape, denoise=False,
+                         rtol=1e-7, atol=1e-7, eps=1e-3)
+    got, nfe = sampler.sample(score_fn, jax.random.PRNGKey(0),
+                              z=jnp.asarray(z))
+    # two independent adaptive RK45 integrators at 1e-7 local tolerances
+    # over the ZeDO t-range (model.t = 0.1)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
 # ------------------------------------------------- geometry + rotation utils
 def test_gradient_field_parity(rng):
     R = ref()
