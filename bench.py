@@ -40,14 +40,8 @@ def build_inputs(n=886, s=50, j=17, seed=0):
     return px, conf, k, clusters
 
 
-def _arg(name, default):
-    if name in sys.argv:
-        return int(sys.argv[sys.argv.index(name) + 1])
-    return default
-
-
 def main():
-    from zedo_tpu.utils.config import enable_compilation_cache
+    from zedo_tpu.utils.config import cli_int_arg, enable_compilation_cache
 
     cache_dir = enable_compilation_cache()
     import jax
@@ -61,7 +55,7 @@ def main():
 
     # --n 1716 = the largest published split (Ski, configs/optim/
     # concat_pose_optimization_ski.py:79-80); default = the H36M headline
-    n, s = _arg("--n", 886), _arg("--s", 50)
+    n, s = cli_int_arg(sys.argv, "--n", 886), cli_int_arg(sys.argv, "--s", 50)
     # default = the flagship config: bf16 weights + fused pallas score kernel
     dtype = "fp32" if "--fp32" in sys.argv else "bf16"
     px, conf, k, clusters = build_inputs(n=n, s=s)
@@ -78,7 +72,7 @@ def main():
     sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
                         probability_flow=True, denoise=True, eps=0.01)
     zcfg = pipeline.ZeDOConfig()  # 500 IPO / 1000 OIL, h36m keylist
-    reuse = _arg("--reuse", 1)  # opt-in NFE reduction (OILConfig.score_reuse)
+    reuse = cli_int_arg(sys.argv, "--reuse", 1)  # opt-in NFE reduction (OILConfig.score_reuse)
     if reuse > 1:
         import dataclasses
 
@@ -118,11 +112,14 @@ def main():
 
     metric = ("h36m_s50_eval_wallclock" if (n, s) == (886, 50)
               else f"eval_wallclock_n{n}_s{s}")
+    # the 60s target is defined for the (886, 50) H36M workload
+    # (BASELINE.json); other shapes compare against a rate-scaled target
+    target_s = 60.0 * (n * s) / (886 * 50)
     result = {
         "metric": metric,
         "value": round(elapsed, 3),
         "unit": "s",
-        "vs_baseline": round(60.0 / elapsed, 3),
+        "vs_baseline": round(target_s / elapsed, 3),
         "extras": {
             "poses_per_s": round(n * s / elapsed, 1),
             "compile_plus_first_run_s": round(compile_and_first, 3),

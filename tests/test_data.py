@@ -109,6 +109,21 @@ def test_h36m_sample_interval(tmp_path):
     assert len(ds.db_2d) == 4 and len(ds.gt_dataset) == 4 and len(ds.actions) == 4
 
 
+def test_eval_sample_interval_strides_gt_too(tmp_path, rng):
+    """eval(sample_interval=k) must score strided preds against the SAME
+    strided GT items (the reference strides only preds and then indexes
+    full-length GT — h36m.py:285-307 — which crashes/mispairs)."""
+    items = _make_h36m_pkl(tmp_path / "h36m_test.pkl")
+    ds = H36MDataset3D(str(tmp_path), "test", gt2d=True, abs_coord=True)
+    gt = np.array([i["joint_3d_camera"] for i in items])
+    gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
+    preds = gt + 0.01
+    e = ds.eval(preds, protocol2=False, sample_interval=3)
+    assert abs(e - 0.01 * np.sqrt(3)) < 1e-4
+    e2 = ds.eval_multi(preds[:, None], protocol2=False, sample_interval=3)
+    assert abs(e2 - 0.01 * np.sqrt(3)) < 1e-4
+
+
 def test_pw3d_reader_and_eval(tmp_path, rng):
     n = 10
     kp3d = rng.randn(n, 17, 3).astype(np.float32) * 0.3
@@ -418,6 +433,18 @@ def test_syrip_reader_and_eval(tmp_path, rng):
 
     ds_test = syrip(subset="validate", num_joint=12, data_root=str(root))
     assert ds_test.db_3d.shape == (2, 12, 3)
+
+    # aug=True appends prior-only 3D rows (reference syrip.py:290-310): 3D
+    # grows past 2D, __getitem__ still wraps by real_data_len, and the
+    # base-class alignment invariant must accept the asymmetry
+    aug_path = root / "aug.npy"
+    np.save(aug_path, rng.randn(3, 12, 3).astype(np.float32))
+    ds_aug = syrip(subset="train", num_joint=12, data_root=str(root),
+                   aug=True, aug_path=str(aug_path))
+    assert len(ds_aug.db_3d) == 7 and len(ds_aug.db_2d) == 4
+    assert len(ds_aug) == 7
+    d2, d3, _ = ds_aug[5]  # wraps: 5 % 4 == 1
+    np.testing.assert_array_equal(d3, ds_aug.db_3d[1])
 
 
 def test_mpii3dhp_detected_2d_branch(tmp_path, rng):

@@ -13,15 +13,10 @@ import time
 import numpy as np
 
 
-def _arg(name, default):
-    if name in sys.argv:
-        return int(sys.argv[sys.argv.index(name) + 1])
-    return default
-
-
 def main():
-    sys.path.insert(0, ".")
-    from zedo_tpu.utils.config import enable_compilation_cache
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from zedo_tpu.utils.config import cli_int_arg, enable_compilation_cache
 
     enable_compilation_cache()
     import jax
@@ -30,8 +25,8 @@ def main():
     from zedo_tpu.models import score_mlp
     from zedo_tpu.ops.pallas import score_kernel as sk
 
-    rows = _arg("--rows", 44300)
-    iters = _arg("--iters", 200)
+    rows = cli_int_arg(sys.argv, "--rows", 44300)
+    iters = cli_int_arg(sys.argv, "--iters", 200)
     cfg = score_mlp.ScoreMLPConfig()
     params32 = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params32)

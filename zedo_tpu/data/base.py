@@ -11,6 +11,7 @@ H36M 17-joint convention throughout: 0 pelvis, 1-3 R leg, 4-6 L leg, 7 spine,
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -119,13 +120,40 @@ class PoseDataset:
     def read_data(self):
         raise NotImplementedError
 
+    def _eval_gt_items(self):
+        """Single/multi-hypothesis eval GT source selection, shared by the
+        H36M-pkl-style datasets (reference h36m.py:275-283 / pw3d.py:239-248):
+        the own `gt_dataset` on the test subset (or when `seq5678` forces it);
+        otherwise the reference's fallback of loading `h36m_test.pkl` from the
+        dataset root. HAZARD (preserved, documented): on a non-test subset
+        without seq5678 that fallback scores predictions against TEST-set GT —
+        only meaningful when the prediction batch really is the test set."""
+        import pickle
+
+        gt_items = getattr(self, "gt_dataset", None)
+        if (self.subset == "test" and gt_items) or getattr(self, "seq5678", False):
+            if not gt_items:
+                raise ValueError(
+                    "seq5678=True requires gt_dataset to be populated with "
+                    "h36m-format GT items (reference crashes on the unset "
+                    "attribute here, pw3d.py:239)"
+                )
+            return gt_items
+        file_path = os.path.join(self.root_path, "h36m_test.pkl")
+        print("loading h36m_test.pkl")
+        with open(file_path, "rb") as f:
+            return pickle.load(f)
+
     def _check_alignment(self):
         """Universal invariant: every per-frame table a solver consumes must
         have the same row count, or `arrays()` would hand the solver 2D rows
         paired with the wrong intrinsics (the reference's detected-2D 3DHP
         branch violates this, mpii3dHP.py:327-338 vs :586-610)."""
         n = len(self.db_2d)
-        assert len(self.db_3d) == n, (
+        # >= not ==: syrip(aug=True) appends prior-only 3D rows past
+        # real_data_len, exactly like the reference (syrip.py:290-310;
+        # __getitem__ wraps both arrays by % real_data_len)
+        assert len(self.db_3d) >= n, (
             f"{type(self).__name__}: db_3d has {len(self.db_3d)} rows, "
             f"db_2d has {n}"
         )

@@ -129,6 +129,17 @@ def multi_hypothesis_eval(
     )
 
 
+def gt_from_items(items) -> np.ndarray:
+    """h36m-format pkl items -> root-centered GT in meters [N, j, 3]
+    (h36m.py:292-293; the one normalization every dataset eval shares)."""
+    gt = np.array([i["joint_3d_camera"] for i in items], dtype=np.float64)
+    return ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
+
+
+def actions_from_items(items) -> np.ndarray:
+    return np.array([i["action"] for i in items])
+
+
 def single_eval(
     preds: np.ndarray,
     gt: np.ndarray,

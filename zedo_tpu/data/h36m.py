@@ -29,20 +29,6 @@ class H36MDataset3D(PoseDataset):
         self.seq5678 = seq5678
         super().__init__(*args, **kwargs)
 
-    def _eval_gt_items(self):
-        """Eval GT source selection (h36m.py:275-283): the own `gt_dataset`
-        on the test subset (or when seq5678 forces it); otherwise the
-        reference falls back to loading `h36m_test.pkl` from the dataset
-        root. HAZARD (preserved, documented): on a non-test subset without
-        seq5678 that fallback evaluates predictions against TEST-set GT —
-        only meaningful when the prediction batch really is the test set."""
-        if (self.subset == "test" and self.gt_dataset) or self.seq5678:
-            return self.gt_dataset
-        file_path = os.path.join(self.root_path, "h36m_test.pkl")
-        print("loading h36m_test.pkl")
-        with open(file_path, "rb") as f:
-            return pickle.load(f)
-
     def read_data(self):
         file_name = "h36m_%s.pkl" % self.subset
         print("loading %s" % file_name)
@@ -96,28 +82,23 @@ class H36MDataset3D(PoseDataset):
     def _strided_fields(self):
         return ["db_2d", "db_3d", "gt_dataset", "camera_param", "image_name", "actions"]
 
-    def _gt_for_eval(self) -> np.ndarray:
-        """Root-centered meters from the pkl items (h36m.py:292-293)."""
-        gt = np.array(
-            [item["joint_3d_camera"] for item in self.gt_dataset], dtype=np.float64
-        )
-        return ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
-
     def eval(self, preds, protocol2=False, print_verbose=False, sample_interval=None):
-        """Action-wise (PA-)MPJPE, single hypothesis (h36m.py:265-319)."""
+        """Action-wise (PA-)MPJPE, single hypothesis (h36m.py:265-319).
+
+        sample_interval strides preds AND the GT items together (the
+        reference strides only preds and then indexes full-length GT —
+        h36m.py:285-307 — which cannot work; pairing them is the intent)."""
         print("eval...")
         gt_items = self._eval_gt_items()
         assert len(preds) == len(gt_items)
         if sample_interval is not None:
             preds = preds[::sample_interval]
-        gt = np.array(
-            [item["joint_3d_camera"] for item in gt_items], dtype=np.float64
-        )
-        gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
-        actions = np.array([item["action"] for item in gt_items])
+            gt_items = list(gt_items)[::sample_interval]
         report = evaluation.single_eval(
-            np.asarray(preds), gt, protocol2=protocol2,
-            actions=actions, action_order=H36M_ACTIONS,
+            np.asarray(preds), evaluation.gt_from_items(gt_items),
+            protocol2=protocol2,
+            actions=evaluation.actions_from_items(gt_items),
+            action_order=H36M_ACTIONS,
         )
         if print_verbose:
             evaluation.print_action_table("H36M", protocol2, report.per_action, report.error)
@@ -128,16 +109,16 @@ class H36MDataset3D(PoseDataset):
         """Action-wise eval against another dataset's gt items
         (h36m.py:322-363; used by training eval over concat datasets)."""
         print("eval...")
-        if sample_interval is not None:
-            preds = preds[::sample_interval]
         gt_items = dataset.gt_dataset
         assert len(preds) == len(gt_items)
-        gt = np.array([i["joint_3d_camera"] for i in gt_items], dtype=np.float64)
-        gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
-        actions = np.array([i["action"] for i in gt_items])
+        if sample_interval is not None:
+            preds = preds[::sample_interval]
+            gt_items = list(gt_items)[::sample_interval]
         report = evaluation.single_eval(
-            np.asarray(preds), gt, protocol2=protocol2,
-            actions=actions, action_order=list(range(2, 17)),
+            np.asarray(preds), evaluation.gt_from_items(gt_items),
+            protocol2=protocol2,
+            actions=evaluation.actions_from_items(gt_items),
+            action_order=list(range(2, 17)),
         )
         return report.error
 
@@ -147,18 +128,15 @@ class H36MDataset3D(PoseDataset):
         GT source selection as in `eval` (h36m.py:375-383)."""
         print("eval multi-hypothesis...")
         gt_items = self._eval_gt_items()
-        if sample_interval is not None:
-            preds = preds[::sample_interval]
         preds = np.asarray(preds)
         assert len(preds) == len(gt_items)
-        gt = np.array(
-            [item["joint_3d_camera"] for item in gt_items], dtype=np.float64
-        )
-        gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
-        actions = np.array([item["action"] for item in gt_items])
+        if sample_interval is not None:
+            preds = preds[::sample_interval]
+            gt_items = list(gt_items)[::sample_interval]
         report = evaluation.multi_hypothesis_eval(
-            preds, gt, protocol2=protocol2,
-            actions=actions, action_order=H36M_ACTIONS,
+            preds, evaluation.gt_from_items(gt_items), protocol2=protocol2,
+            actions=evaluation.actions_from_items(gt_items),
+            action_order=H36M_ACTIONS,
         )
         # parity note: the reference prints "maximum MPJPE error" here
         # (h36m.py:423) but its tracker actually records the MINIMUM —

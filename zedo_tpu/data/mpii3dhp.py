@@ -147,21 +147,19 @@ class MPII3DHP(PoseDataset):
         self.camera_param = self.camera_param[::sample_interval]
         self.image_path = self.image_path[::sample_interval]
 
-    def _gt_for_eval(self):
-        gt = np.array(
-            [item["joint_3d_camera"] for item in self.gt_dataset], dtype=np.float64
-        )
-        return ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
-
     def eval(self, preds, protocol2=False, print_verbose=False, sample_interval=None):
-        """Action-wise single-hypothesis eval (mpii3dHP.py:353-422)."""
+        """Action-wise single-hypothesis eval (mpii3dHP.py:353-422).
+        sample_interval strides preds and GT together (see h36m.eval)."""
         print("eval...")
+        gt_items = self.gt_dataset
         if sample_interval is not None:
             preds = preds[::sample_interval]
-        actions = np.array([item["action"] for item in self.gt_dataset])
+            gt_items = list(gt_items)[::sample_interval]
         report = evaluation.single_eval(
-            np.asarray(preds), self._gt_for_eval(), protocol2=protocol2,
-            actions=actions, action_order=[15, 17, 18, 19, 20, 21],
+            np.asarray(preds), evaluation.gt_from_items(gt_items),
+            protocol2=protocol2,
+            actions=evaluation.actions_from_items(gt_items),
+            action_order=[15, 17, 18, 19, 20, 21],
         )
         if print_verbose:
             evaluation.print_action_table("3DHP", protocol2, report.per_action, report.error)
@@ -176,13 +174,15 @@ class MPII3DHP(PoseDataset):
         print("eval multi-hypothesis...")
         preds = np.asarray(preds)
         if self.subset == "test" and self.gt_dataset is not None:
-            assert len(preds) == len(self.gt_dataset)
+            gt_items = self.gt_dataset
+            assert len(preds) == len(gt_items)
             if sample_interval is not None:
                 preds = preds[::sample_interval]
-            actions = np.array([item["action"] for item in self.gt_dataset])
+                gt_items = list(gt_items)[::sample_interval]
             report = evaluation.multi_hypothesis_eval(
-                preds, self._gt_for_eval(), protocol2=protocol2,
-                actions=actions, action_order=ACTIONS_3DHP, with_pck_auc=True,
+                preds, evaluation.gt_from_items(gt_items), protocol2=protocol2,
+                actions=evaluation.actions_from_items(gt_items),
+                action_order=ACTIONS_3DHP, with_pck_auc=True,
             )
             print("PCK :", report.pck)
             print("AUC :", report.auc)
@@ -193,10 +193,12 @@ class MPII3DHP(PoseDataset):
             return report.error
 
         assert len(preds) == len(self.db_3d)
+        gt3d = self.db_3d
         if sample_interval is not None:
             preds = preds[::sample_interval]
+            gt3d = gt3d[::sample_interval]
         preds = preds.copy()
-        preds[:, :, 10, :] = self.db_3d[:, None, 10, :]  # mpii3dHP.py:526
-        report = evaluation.multi_hypothesis_eval(preds, self.db_3d, protocol2=protocol2)
+        preds[:, :, 10, :] = gt3d[:, None, 10, :]  # mpii3dHP.py:526
+        report = evaluation.multi_hypothesis_eval(preds, gt3d, protocol2=protocol2)
         print(report.error)
         return report.error

@@ -87,40 +87,20 @@ class PW3D(PoseDataset):
              sample_interval=None):
         """Single-hypothesis action-wise eval (pw3d.py:230-283).
 
-        GT source selection mirrors pw3d.py:239: `seq5678=True` (or a
-        caller-populated `gt_dataset` on the test subset) evaluates against
-        the h36m-format `gt_dataset` items; otherwise the reference's
-        fallback — loading `h36m_test.pkl` from the dataset root — is
-        preserved. (In the reference, seq5678 with no gt_dataset crashes on
-        the unset attribute; here it raises a clear error.)
-        """
-        import pickle
-
+        GT source selection is the shared `PoseDataset._eval_gt_items`
+        (reference pw3d.py:239-248). sample_interval strides preds and the
+        GT items together (see h36m.eval)."""
         print("eval...")
-        if (self.subset == "test" and self.gt_dataset) or self.seq5678:
-            dataitem_gt = self.gt_dataset
-            if not dataitem_gt:
-                raise ValueError(
-                    "seq5678=True requires gt_dataset to be populated with "
-                    "h36m-format GT items (pw3d.py:239)"
-                )
-        else:
-            file_path = os.path.join(self.root_path, "h36m_test.pkl")
-            print("loading h36m_test.pkl")
-            with open(file_path, "rb") as f:
-                dataitem_gt = pickle.load(f)
-
-        assert len(preds) == len(dataitem_gt)
+        gt_items = self._eval_gt_items()
+        assert len(preds) == len(gt_items)
         if sample_interval is not None:
             preds = preds[::sample_interval]
-        gt = np.array(
-            [item["joint_3d_camera"] for item in dataitem_gt], dtype=np.float64
-        )
-        gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
-        actions = np.array([item["action"] for item in dataitem_gt])
+            gt_items = list(gt_items)[::sample_interval]
         report = evaluation.single_eval(
-            np.asarray(preds), gt, protocol2=protocol2,
-            actions=actions, action_order=list(range(2, 17)),
+            np.asarray(preds), evaluation.gt_from_items(gt_items),
+            protocol2=protocol2,
+            actions=evaluation.actions_from_items(gt_items),
+            action_order=list(range(2, 17)),
         )
         if print_verbose:
             evaluation.print_action_table(

@@ -34,24 +34,25 @@ EVAL_FREQ = 500  # train_pose_mini.py:77
 def dataset_eval(preds, dataset, protocol2=False, print_verbose=False,
                  sample_interval=None, concate=False):
     """Action-wise MPJPE over a (possibly concatenated) gt_dataset
-    (train_pose_mini.py:96-146; actions 2..21, empty actions skipped)."""
+    (train_pose_mini.py:96-146; actions 2..21, empty actions skipped).
+    sample_interval strides preds and GT together (see h36m.eval)."""
     print("eval...")
-    if sample_interval is not None:
-        preds = preds[::sample_interval]
     if concate:
         gt_items = dataset.datasets[0].gt_dataset + dataset.datasets[1].gt_dataset
     else:
         gt_items = dataset.gt_dataset
     assert len(preds) == len(gt_items)
-    gt = np.array([i["joint_3d_camera"] for i in gt_items], dtype=np.float64)
-    gt = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
-    actions = np.array([i["action"] for i in gt_items])
+    if sample_interval is not None:
+        preds = preds[::sample_interval]
+        gt_items = list(gt_items)[::sample_interval]
 
     from zedo_tpu.data import evaluation
 
     report = evaluation.single_eval(
-        np.asarray(preds), gt, protocol2=protocol2,
-        actions=actions, action_order=list(range(2, 22)),
+        np.asarray(preds), evaluation.gt_from_items(gt_items),
+        protocol2=protocol2,
+        actions=evaluation.actions_from_items(gt_items),
+        action_order=list(range(2, 22)),
     )
     return report.error
 

@@ -37,6 +37,13 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         return None
 
 
+def cli_int_arg(argv: list[str], name: str, default: int) -> int:
+    """Tiny positional `--flag value` int parser for the bench tools."""
+    if name in argv:
+        return int(argv[argv.index(name) + 1])
+    return default
+
+
 def apply_overrides(config, overrides: list[str]):
     """Apply 'dotted.path=value' strings to an ml_collections ConfigDict.
 
