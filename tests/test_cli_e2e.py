@@ -319,6 +319,95 @@ def test_infant_cli_end_to_end(tmp_path, rng, monkeypatch):
     assert np.isfinite(out).all()
 
 
+def test_inference_cli_end_to_end(workdir, rng, monkeypatch):
+    """Drive run.inference.main on the wild->CustomDataset branch: solve,
+    save results.npy, and --eval against the provided GT (inference.py:
+    118-121,236-241)."""
+    import types as _types
+
+    import configs.optim.concat_pose_optimization_wild as wild_cfg
+    import zedo_tpu.run.inference as inference_cli
+
+    n = 6
+    gt3d = rng.randn(n, 17, 3).astype(np.float32) * 0.25
+    gt3d -= gt3d[:, 0:1]
+    t = np.array([0.1, 0.0, 4.0], np.float32)
+    k = np.zeros((n, 3, 3), np.float32)
+    k[:, 0, 0] = k[:, 1, 1] = 1000.0
+    k[:, 0, 2] = k[:, 1, 2] = 500.0
+    k[:, 2, 2] = 1.0
+    cam = gt3d + t
+    kp2d = np.concatenate([
+        np.stack([cam[:, :, 0] / cam[:, :, 2] * 1000.0 + 500.0,
+                  cam[:, :, 1] / cam[:, :, 2] * 1000.0 + 500.0], axis=-1),
+        np.ones((n, 17, 1), np.float32),
+    ], axis=-1)
+    wild_dir = workdir / "data" / "wild"
+    wild_dir.mkdir(parents=True)
+    np.savez(wild_dir / "custom_data.npz", keypoints_2d=kp2d,
+             keypoints_3d=gt3d, K=k,
+             image_name=np.array([f"im{i}" for i in range(n)]))
+    base = np.load(workdir / "clusters" / "h36m_cluster2.npy")
+    np.save(workdir / "clusters" / "h36m_cluster1.npy", base[:1])
+
+    config = wild_cfg.get_config()
+    config.ZeDO.sample = 1
+    config.ZeDO.IPO_iterations = 30
+    config.ZeDO.OIL_iterations = 20
+    config.ZeDO.batch = n
+    monkeypatch.setattr(inference_cli, "FLAGS",
+                        _types.SimpleNamespace(config=config))
+    save_path = str(workdir / "wild_results.npy")
+    args = _types.SimpleNamespace(
+        ckpt_dir=str(workdir / "checkpoint"), ckpt_name="checkpoint_1500.pth",
+        gt=False, hypo=1, eval=True, ema=False, dtype="fp32",
+        save=save_path, seed=0, cluster_dir=str(workdir / "clusters"),
+        data_dir=str(workdir / "data"), strict_batch=True, override=[],
+    )
+    inference_cli.main(args)
+    out = np.load(save_path)
+    assert out.shape == (n, 1, 17, 3)
+    assert np.isfinite(out).all()
+
+
+def test_sample_cli_end_to_end(workdir, rng, monkeypatch):
+    """Drive run.sample.main for gen (prior draws) and den (denoising with
+    --input) through the legacy task surface (lib/sampling.py capabilities,
+    live here)."""
+    import types as _types
+
+    import configs.optim.concat_pose_optimization_h36m as h36m_cfg
+    import zedo_tpu.run.sample as sample_cli
+
+    config = h36m_cfg.get_config()
+    config.model.num_scales = 50  # keep the full PC loop short
+    monkeypatch.setattr(sample_cli, "FLAGS",
+                        _types.SimpleNamespace(config=config))
+
+    gen_path = str(workdir / "gen.npy")
+    args = _types.SimpleNamespace(
+        ckpt_dir=str(workdir / "checkpoint"), ckpt_name="checkpoint_1500.pth",
+        task="gen", num=8, input=None, jlist=None, randj=None, sampler="pc",
+        warm_start_steps=0, ema=False, seed=0, save=gen_path, override=[],
+    )
+    sample_cli.main(args)
+    gen = np.load(gen_path)
+    assert gen.shape == (8, 17, 3) and np.isfinite(gen).all()
+
+    noisy_path = str(workdir / "noisy.npy")
+    np.save(noisy_path, rng.randn(4, 17, 3).astype(np.float32) * 0.3)
+    den_path = str(workdir / "den.npy")
+    args = _types.SimpleNamespace(
+        ckpt_dir=str(workdir / "checkpoint"), ckpt_name="checkpoint_1500.pth",
+        task="den", num=0, input=noisy_path, jlist=None, randj=None,
+        sampler="pc", warm_start_steps=5, ema=False, seed=0, save=den_path,
+        override=[],
+    )
+    sample_cli.main(args)
+    den = np.load(den_path)
+    assert den.shape == (4, 17, 3) and np.isfinite(den).all()
+
+
 def test_tp_sharded_forward_matches_replicated(rng):
     """ScoreMLP forward with hidden-dim TP sharding == replicated forward."""
     import jax
