@@ -309,6 +309,59 @@ def test_zedo_pc_step_matches_reference_pc_sampler(rng, predictor):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("sde_kind,continuous,reduce_mean,lw", [
+    ("subvp", True, True, False),    # the shipped training config
+    ("subvp", True, False, True),    # likelihood-weighting branch
+    ("vp", False, True, False),      # discrete-label branch (losses.py:93)
+])
+def test_sde_loss_parity(rng, monkeypatch, sde_kind, continuous,
+                         reduce_mean, lw):
+    """The reference's get_sde_loss_fn (losses.py:56-104) vs
+    diffusion/losses.get_sde_loss_fn with the SAME injected (t, z) draws —
+    RNG is stubbed at call time on both sides, so the comparison pins the
+    full loss formula (perturbation, score wrapping, weighting, reduction)
+    through the real network."""
+    from zedo_tpu.diffusion import losses as losses_lib
+
+    R = ref()
+    import lib.algorithms.advanced.losses as ref_losses
+    tmodel, cfg, params = make_pair(hidden=128, embed=64)
+    B = 8
+    eps = 1e-5
+    batch = rng.randn(B, 17, 3).astype(np.float32) * 0.3
+    t_fix = (rng.rand(B).astype(np.float32) * (0.1 - eps) + eps)
+    z_fix = rng.randn(B, 17, 3).astype(np.float32)
+
+    if sde_kind == "subvp":
+        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+        jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    else:
+        tsde = R.sde_lib.VPSDE(0.1, 20.0, 1000, T=0.1)
+        jsde = VPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+
+    ref_fn = ref_losses.get_sde_loss_fn(
+        tsde, train=False, reduce_mean=reduce_mean, continuous=continuous,
+        likelihood_weighting=lw, eps=eps)
+    monkeypatch.setattr(torch, "rand",
+                        lambda *a, **k: torch.tensor((t_fix - eps) / (0.1 - eps)))
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.tensor(z_fix))
+    with torch.no_grad():
+        want = float(ref_fn(tmodel, torch.tensor(batch), None, None))
+
+    def model_apply(p, x, labels, cond, msk, train=False, rng=None):
+        return score_mlp.apply(p, cfg, x, labels, cond, msk)
+
+    jloss_fn = losses_lib.get_sde_loss_fn(
+        jsde, model_apply, train=False, reduce_mean=reduce_mean,
+        continuous=continuous, likelihood_weighting=lw, eps=eps)
+    monkeypatch.setattr(jax.random, "uniform",
+                        lambda key, shape: jnp.asarray((t_fix - eps) / (0.1 - eps)))
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape, dtype=jnp.float32: jnp.asarray(z_fix))
+    got = float(jloss_fn(params, jax.random.PRNGKey(0), jnp.asarray(batch)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+
 # ------------------------------------------------------ ControlNet adapter
 def test_control_model_parity(rng):
     """The real Control_ScoreModelFC_Adv (lib/algorithms/advanced/
