@@ -730,6 +730,107 @@ def test_h36m_eval_multi_parity(rng, tmp_path):
         np.testing.assert_allclose(got1, want1, rtol=1e-5)
 
 
+def test_h36m_reader_parity(rng, tmp_path):
+    """The reference H36MDataset3D READER itself (h36m.py:94-263) on the same
+    pkl fixture vs the repo's reader: db_2d/db_3d/camera_param row-for-row,
+    including sample_interval striding."""
+    import pickle
+
+    from zedo_tpu.data.h36m import H36MDataset3D
+
+    R = ref()
+    items = []
+    for i in range(9):
+        pose = rng.randn(17, 3) * 250
+        items.append({
+            "joint_3d_camera": pose + np.array([100.0, 50.0, 4000.0]),
+            "joint_3d_image": rng.rand(17, 3) * 1000,
+            # numpy scalars: the reference reader calls .item() on them
+            "camera_param": {k: np.float64(v) for k, v in dict(
+                fx=1000.0 + i, fy=1001.0, cx=500.0, cy=501.0).items()},
+            "image_path": f"{i}.jpg",
+            "action": 2 + (i % 3),
+        })
+    with open(tmp_path / "h36m_test.pkl", "wb") as f:
+        pickle.dump(items, f)
+
+    for kw in (dict(gt2d=True, abs_coord=True),
+               dict(gt2d=True, abs_coord=False, sample_interval=2)):
+        ref_ds = R.h36m.H36MDataset3D(str(tmp_path), "test",
+                                      read_confidence=True, **kw)
+        mine = H36MDataset3D(str(tmp_path), "test", read_confidence=True,
+                             **kw)
+        np.testing.assert_allclose(mine.db_3d, np.asarray(ref_ds.db_3d),
+                                   rtol=1e-6, err_msg=str(kw))
+        np.testing.assert_allclose(mine.db_2d, np.asarray(ref_ds.db_2d),
+                                   rtol=1e-6, err_msg=str(kw))
+        np.testing.assert_allclose(
+            mine.camera_param, np.asarray(ref_ds.camera_param),
+            rtol=1e-6, err_msg=str(kw))
+
+
+def test_pw3d_reader_parity(rng, tmp_path):
+    """The reference PW3D reader (pw3d.py:55-227: joint reorder + 2D
+    synthesized from GT 3D) vs the repo's on the same npz."""
+    from zedo_tpu.data.pw3d import PW3D
+
+    R = ref()
+    n = 7
+    kp3d = rng.randn(n, 17, 3).astype(np.float32) * 0.3
+    root = np.zeros((n, 3), np.float32)
+    root[:, 2] = 5.0
+    np.savez(
+        tmp_path / "pw3d_test.npz",
+        keypoints3d17_relative=kp3d,
+        root_cam=root,
+        cam_param=np.array(
+            {"f": np.full((n, 2), 1000.0), "c": np.full((n, 2), 500.0)},
+            dtype=object,
+        ),
+        image_width=np.full(n, 1000),
+        image_height=np.full(n, 1000),
+        image_path=np.array([f"im{i}" for i in range(n)]),
+    )
+    ref_ds = R.h36m.__dict__  # noqa: F841
+    import lib.dataset.pw3d as ref_pw3d
+
+    rd = ref_pw3d.PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True)
+    mine = PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True)
+    np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d), rtol=1e-5)
+    np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d), rtol=1e-4)
+    np.testing.assert_allclose(mine.camera_param,
+                               np.asarray(rd.camera_param), rtol=1e-6)
+
+
+def test_ski_reader_parity(rng, tmp_path):
+    """The reference skiPose reader (skiPose.py:10-148: x256 normalized
+    intrinsics) vs the repo's on the same h5."""
+    import h5py
+
+    from zedo_tpu.data.ski import skiPose as MySki
+
+    R = ref()
+    import lib.dataset.skiPose as ref_ski
+
+    n, j = 5, 17
+    with h5py.File(tmp_path / "ski_test.h5", "w") as f:
+        f["3D"] = rng.randn(n, j, 3).astype(np.float32) * 0.3
+        f["2D"] = rng.rand(n, j, 2).astype(np.float32)
+        f["cam_intrinsic"] = np.tile(
+            np.array([[4.0, 0, 0.5], [0, 4.0, 0.5], [0, 0, 1 / 256.0]],
+                     np.float32), (n, 1, 1))
+        f["seq"] = np.zeros(n, np.int32)
+        f["cam"] = np.zeros(n, np.int32)
+        f["frame"] = np.arange(n)
+
+    rd = ref_ski.skiPose(str(tmp_path), "test", gt2d=True, abs_coord=True)
+    mine = MySki(str(tmp_path), "test", gt2d=True, abs_coord=True)
+    np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d), rtol=1e-5)
+    np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d), rtol=1e-5)
+    np.testing.assert_allclose(mine.camera_param,
+                               np.asarray(rd.camera_param), rtol=1e-5)
+
+
 # --------------------------------------------------- (b) K-step trajectories
 def _scene(rng, n=4, j=17):
     k = np.zeros((n, 3, 3), np.float32)
