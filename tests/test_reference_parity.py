@@ -730,6 +730,61 @@ def test_h36m_eval_multi_parity(rng, tmp_path):
         np.testing.assert_allclose(got1, want1, rtol=1e-5)
 
 
+def test_pw3d_ski_3dhp_eval_multi_parity(rng, tmp_path):
+    """The reference PW3D/skiPose/MPII3DHP eval_multi THEMSELVES (pw3d.py:
+    286-345, skiPose.py:159-205, mpii3dHP.py:424-512 incl. PCK/AUC) on
+    attribute-injected instances vs the repo's datasets on the same arrays."""
+    import pickle
+
+    from zedo_tpu.data.mpii3dhp import MPII3DHP
+    from zedo_tpu.data.pw3d import PW3D
+    from zedo_tpu.data.ski import skiPose as MySki
+
+    R = ref()
+    import lib.dataset.mpii3dHP as ref_3dhp
+    import lib.dataset.pw3d as ref_pw3d
+    import lib.dataset.skiPose as ref_ski
+
+    n, s = 14, 3  # covers all 7 3DHP actions (empty actions NaN the
+    # reference's action-wise mean)
+    db_3d = rng.randn(n, 17, 3).astype(np.float32) * 0.3
+    preds = ((db_3d - db_3d[:, 0:1])[:, None]
+             + rng.randn(n, s, 17, 3) * 0.04).astype(np.float32)
+
+    for ref_cls, mine_cls in ((ref_pw3d.PW3D, PW3D),
+                              (ref_ski.skiPose, MySki)):
+        rd = ref_cls.__new__(ref_cls)
+        rd.db_3d = db_3d
+        mine = mine_cls.__new__(mine_cls)
+        mine.db_3d = db_3d
+        mine.subset = "test"
+        for protocol2 in (False, True):
+            want = rd.eval_multi(preds, protocol2=protocol2)
+            got = mine.eval_multi(preds, protocol2=protocol2)
+            np.testing.assert_allclose(
+                got, want, rtol=1e-5,
+                err_msg=f"{ref_cls.__name__} protocol2={protocol2}")
+
+    # 3DHP GT branch: action-wise + PCK/AUC via the real compute_PCK/AUC
+    items = [{"joint_3d_camera": db_3d[i] * 1000
+                                + np.array([0.0, 0.0, 4000.0]),
+              "action": [15, 10, 17, 18, 19, 20, 21][i % 7]} for i in range(n)]
+    rd = ref_3dhp.MPII3DHP.__new__(ref_3dhp.MPII3DHP)
+    rd.subset = "test"
+    rd.gt_dataset = items
+    rd.db_3d = np.array([it["joint_3d_camera"] / 1000.0 for it in items],
+                        np.float32)
+    mine = MPII3DHP.__new__(MPII3DHP)
+    mine.subset = "test"
+    mine.gt_dataset = items
+    mine.db_3d = rd.db_3d.copy()
+    for protocol2 in (False, True):
+        want = rd.eval_multi(preds, protocol2=protocol2)
+        got = mine.eval_multi(preds, protocol2=protocol2)
+        np.testing.assert_allclose(got, want, rtol=1e-5,
+                                   err_msg=f"3DHP protocol2={protocol2}")
+
+
 def test_h36m_reader_parity(rng, tmp_path):
     """The reference H36MDataset3D READER itself (h36m.py:94-263) on the same
     pkl fixture vs the repo's reader: db_2d/db_3d/camera_param row-for-row,
