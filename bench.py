@@ -73,11 +73,17 @@ def main():
                         probability_flow=True, denoise=True, eps=0.01)
     zcfg = pipeline.ZeDOConfig()  # 500 IPO / 1000 OIL, h36m keylist
     reuse = cli_int_arg(sys.argv, "--reuse", 1)  # opt-in NFE reduction (OILConfig.score_reuse)
-    if reuse > 1:
+    tile = cli_int_arg(sys.argv, "--tile", 0)  # 0 = OILConfig default
+    if reuse > 1 or tile:
         import dataclasses
 
+        oil_kw = {}
+        if reuse > 1:
+            oil_kw["score_reuse"] = reuse
+        if tile:
+            oil_kw["pallas_tile"] = tile
         zcfg = dataclasses.replace(
-            zcfg, oil=dataclasses.replace(zcfg.oil, score_reuse=reuse))
+            zcfg, oil=dataclasses.replace(zcfg.oil, **oil_kw))
 
     mesh = default_mesh()
     # shard_map needs N divisible by the device count (pad-and-mask like the

@@ -55,7 +55,12 @@ class OILConfig:
     # None = auto: fused pallas score kernel when params are bf16, the
     # backend is a TPU, and the architecture matches the kernel contract
     use_pallas: Optional[bool] = None
-    pallas_tile: int = 256
+    # None = auto: smallest padded batch among {512, 256, 128} (largest tile
+    # on ties). Under the per-hypothesis vmap the batch is N poses, not N*S
+    # (e.g. H36M N=886: tile 256 pads to 1024 = 15% waste, tile 128 to 896 =
+    # 1% — measured 3.26 s -> 3.03 s on the headline eval); at tile-aligned
+    # flat batches larger tiles win slightly.
+    pallas_tile: Optional[int] = None
     # OPT-IN acceleration (default 1 = exact reference dynamics): evaluate
     # the score network every k-th step and reuse the previous output in
     # between (past-score reuse in the spirit of training-free accelerators
@@ -158,6 +163,11 @@ def run_oil(
     )
 
 
+def _auto_tile(b: int, candidates=(512, 256, 128)) -> int:
+    """Smallest padded batch wins; largest tile on ties (see OILConfig)."""
+    return min(candidates, key=lambda t: (-(-b // t) * t, -t))
+
+
 def _pallas_eligible(params, model_cfg) -> bool:
     """Kernel contract: 2 blocks, lane-aligned hidden, bf16 weights, TPU."""
     import jax.numpy as jnp_
@@ -207,12 +217,13 @@ def _run_oil_fast(
         io = model_cfg.n_joints * model_cfg.joint_dim
         io_pad = ((io + sk.LANE - 1) // sk.LANE) * sk.LANE
         b = x0.shape[0]
-        b_pad = ((b + cfg.pallas_tile - 1) // cfg.pallas_tile) * cfg.pallas_tile
+        tile = cfg.pallas_tile or _auto_tile(b)
+        b_pad = ((b + tile - 1) // tile) * tile
 
         def model_forward(x_flat, step_xs):
             vecs = step_xs
             x_in = jnp.pad(x_flat, ((0, b_pad - b), (0, io_pad - io)))
-            out = sk.fused_score_forward(x_in, packed, vecs, tile=cfg.pallas_tile)
+            out = sk.fused_score_forward(x_in, packed, vecs, tile=tile)
             return out[:b, :io]
 
         step_tables = vecs_table
