@@ -324,6 +324,20 @@ def test_solve_sharded_matches_single_device(rng):
     )
 
 
+def test_auto_tile_minimizes_padding():
+    """pallas_tile=None picks the padding-minimal tile (largest on ties):
+    the per-vmap-slice batch N=886 padded 15% at the old fixed 256 but 1% at
+    128 (measured 3.25s -> 2.95s on the headline eval)."""
+    cases = {886: 128, 44544: 512, 1024: 512, 896: 128, 256: 256,
+             1716: 256, 5: 128}
+    for b, want in cases.items():
+        got = oil_lib._auto_tile(b)
+        assert got == want, (b, got, want)
+        # chosen tile never pads worse than any candidate
+        pad = lambda t: -(-b // t) * t
+        assert pad(got) == min(pad(t) for t in (512, 256, 128))
+
+
 def test_oil_score_reuse(rng):
     """score_reuse=1 is exact; k=2 halves NFE and stays close on a smooth
     score field."""
