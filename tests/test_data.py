@@ -215,6 +215,37 @@ def test_pw3d_seq5678_eval_gt_selection(tmp_path, rng):
     PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True, seq1=True)
 
 
+def test_eval_multi_sample_interval_strides_gt_all_datasets(rng):
+    """eval_multi(sample_interval=k) strides predictions AND GT together on
+    every whole-set dataset (code-review r2: pw3d/ski/custom/mini/syrip
+    strided preds only and crashed or mispaired)."""
+    import types
+
+    from zedo_tpu.data.custom import CustomDataset
+    from zedo_tpu.data.mini_rgbd import mini_rgbd
+    from zedo_tpu.data.ski import skiPose
+    from zedo_tpu.data.syrip import syrip
+
+    n = 9
+    db = rng.randn(n, 17, 3).astype(np.float32) * 0.3
+    preds = (db - db[:, 0:1])[:, None] + 0.02
+    for cls in (PW3D, skiPose, CustomDataset):
+        ds = cls.__new__(cls)
+        ds.db_3d = db
+        e = ds.eval_multi(preds, protocol2=False, sample_interval=3)
+        assert abs(e - 0.02 * np.sqrt(3)) < 1e-4, cls.__name__
+    ds = syrip.__new__(syrip)
+    ds.db_3d = db - db[:, 0:1]
+    ds.num_joint = 17
+    e = ds.eval_multi(preds, sample_interval=3)
+    assert abs(e - 0.02 * np.sqrt(3)) < 1e-4
+    ds = mini_rgbd.__new__(mini_rgbd)
+    ds.db_3d = db
+    ds.num_joint = 17
+    e = ds.eval_multi(preds, protocol2=False, sample_interval=3)
+    assert np.isfinite(e)
+
+
 def test_ski_reader_and_eval(tmp_path, rng):
     import h5py
 

@@ -45,9 +45,11 @@ class CustomDataset(PoseDataset):
         print("eval multi-hypothesis...")
         preds = np.asarray(preds)
         assert len(preds) == len(self.db_3d)
+        gt = self.db_3d
         if sample_interval is not None:
             preds = preds[::sample_interval]
-        gt = self.db_3d - self.db_3d[:, 0:1]
+            gt = gt[::sample_interval]
+        gt = gt - gt[:, 0:1]
         report = evaluation.multi_hypothesis_eval(preds, gt, protocol2=protocol2)
         print(f"mean {'PA-MPJPE' if protocol2 else 'MPJPE'} : {report.error}")
         return report.error

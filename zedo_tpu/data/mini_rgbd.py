@@ -128,9 +128,11 @@ class mini_rgbd(PoseDataset):  # noqa: N801 — reference class name
         alignment)."""
         print("eval multi-hypothesis...")
         preds = np.asarray(preds)
+        gt = self.db_3d
         if sample_interval is not None:
             preds = preds[::sample_interval]
-        gt = self.db_3d - self.db_3d[:, 0:1]
+            gt = gt[::sample_interval]
+        gt = gt - gt[:, 0:1]
         subset = None
         if gt.shape[-2] == 12:
             subset = list(range(1, 7)) + [11]

@@ -119,11 +119,13 @@ class PW3D(PoseDataset):
         17 joints, as there.
         """
         print("eval multi-hypothesis...")
-        if sample_interval is not None:
-            preds = preds[::sample_interval]
         preds = np.asarray(preds)
         assert len(preds) == len(self.db_3d)
-        gt = self.db_3d - self.db_3d[:, 0:1]
+        gt = self.db_3d
+        if sample_interval is not None:
+            preds = preds[::sample_interval]
+            gt = gt[::sample_interval]
+        gt = gt - gt[:, 0:1]
         subset = JOINTS_14 if joint == 14 else None
         report = evaluation.multi_hypothesis_eval(
             preds, gt, protocol2=protocol2,

@@ -123,8 +123,10 @@ class syrip(PoseDataset):  # noqa: N801 — reference class name
         (syrip.py:341 — the 12-joint path already pelvis-centered at read)."""
         print("eval multi-hypothesis...")
         preds = np.asarray(preds)
+        gt = self.db_3d
         if sample_interval is not None:
             preds = preds[::sample_interval]
-        report = evaluation.multi_hypothesis_eval(preds, self.db_3d, protocol2=protocol2)
+            gt = gt[::sample_interval]
+        report = evaluation.multi_hypothesis_eval(preds, gt, protocol2=protocol2)
         print(f"mean MPJPE error: {report.error}")
         return report.error

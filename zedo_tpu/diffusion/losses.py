@@ -39,6 +39,12 @@ def get_optimizer(config) -> optax.GradientTransformation:
     transforms = []
     if config.optim.grad_clip >= 0:
         transforms.append(optax.clip_by_global_norm(config.optim.grad_clip))
+    wd = float(config.optim.get("weight_decay", 0) or 0)
+    if wd:
+        # torch.optim.Adam(weight_decay=wd) adds wd*param to the RAW gradient
+        # before the moment updates (coupled L2, not AdamW) — add_decayed_
+        # weights placed before adam reproduces that
+        transforms.append(optax.add_decayed_weights(wd))
     transforms.append(
         optax.adam(schedule, b1=config.optim.beta1, b2=0.999, eps=config.optim.eps)
     )

@@ -42,11 +42,15 @@ def inv3x3(m: jax.Array) -> jax.Array:
 
 
 def solve3x3(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve a @ x = b for [..., 3, 3] a and [..., 3] or [..., 3, k] b."""
+    """Solve a @ x = b for [..., 3, 3] a and [..., 3] or [..., 3, k] b.
+
+    HIGHEST precision: camera-translation solves are mm-level geometry and
+    must not round through bf16 MXU inputs (CLAUDE.md numerics policy)."""
     inv = inv3x3(a)
     if b.ndim == a.ndim - 1:
-        return jnp.einsum("...ij,...j->...i", inv, b)
-    return inv @ b
+        return jnp.einsum("...ij,...j->...i", inv, b,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(inv, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def inv_intrinsics(k: jax.Array) -> jax.Array:

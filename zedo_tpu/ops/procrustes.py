@@ -64,19 +64,19 @@ def procrustes(
         )
         v = v * col_signs[None, :]
         s = s * col_signs
-        r = v @ u.T
+        r = jnp.matmul(v, u.T, precision=_EXACT)
 
     s_trace = jnp.sum(s)
     if scaling:
         scale = s_trace * a_norm / b_norm
         d = 1 - s_trace**2
-        z = a_norm * s_trace * (b0 @ r) + a_bar
+        z = a_norm * s_trace * jnp.matmul(b0, r, precision=_EXACT) + a_bar
     else:
         scale = jnp.ones((), dtype=a.dtype)
         d = 1 + ss_y / ss_x - 2 * s_trace * b_norm / a_norm
-        z = b_norm * (b0 @ r) + a_bar
+        z = b_norm * jnp.matmul(b0, r, precision=_EXACT) + a_bar
 
-    translation = a_bar - scale * (b_bar @ r)
+    translation = a_bar - scale * jnp.matmul(b_bar, r, precision=_EXACT)
     return ProcrustesResult(d=d, z=z, rotation=r, scale=scale, translation=translation)
 
 

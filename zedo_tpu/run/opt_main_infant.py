@@ -27,8 +27,6 @@ if "config" not in FLAGS:  # modules may be co-imported (tests, tooling)
 JOINT_DIM = 3
 HIDDEN_DIM = 1024
 EMBED_DIM = 512
-# SMIL-25 -> H36M-17 (opt_main_infant.py:50)
-CHANGE_TABLE = [0, 2, 5, 11, 1, 4, 10, 3, 9, 12, 15, 13, 18, 20, 14, 19, 21]
 
 
 def parse_args(argv):

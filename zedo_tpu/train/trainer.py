@@ -236,7 +236,6 @@ def train_loop(
     n = len(data_3d)
     batch_size = min(config.training.batch_size, n)
     steps_per_epoch = max(1, n // batch_size)
-    rng_np = np.random.RandomState(trainer_cfg.seed)
 
     def _ckpt_payload(epoch):
         return {
@@ -254,14 +253,19 @@ def train_loop(
     history = []
     global_step = start_epoch * steps_per_epoch
     for epoch in range(start_epoch, trainer_cfg.n_epochs):
-        perm = rng_np.permutation(n)
+        # per-epoch derived streams: a resumed run continues exactly where an
+        # uninterrupted one would be, instead of replaying the epoch-0 batch
+        # orders and noise draws (seeding from `seed` alone restarts both
+        # streams after --restore_dir — code-review r2)
+        perm = np.random.RandomState([trainer_cfg.seed, epoch]).permutation(n)
+        epoch_key = jax.random.fold_in(key, epoch)
         meter = AverageMeter()
         for i in range(steps_per_epoch):
             idx = perm[i * batch_size : (i + 1) * batch_size]
             batch = jnp.asarray(data_3d[idx])
             if batch_sharding is not None:
                 batch = jax.device_put(batch, batch_sharding)
-            key, step_key = jax.random.split(key)
+            epoch_key, step_key = jax.random.split(epoch_key)
             state, loss = train_step(state, step_key, batch, None, None)
             loss = float(loss)
             meter.update(loss)

@@ -56,11 +56,12 @@ def pelvis_2d(cond2d: jax.Array, pelvis_mode: str) -> jax.Array:
 
 
 def init_translation_infant(cond2d, k, t_norm, pelvis_mode: str) -> jax.Array:
-    pelvis = pelvis_2d(cond2d, pelvis_mode)
-    hom = jnp.concatenate([pelvis, jnp.ones_like(pelvis[:, :1])], axis=-1)
-    t = jnp.einsum("bij,bj->bi", inv_intrinsics(k), hom, precision=_EXACT)
-    t = t / jnp.linalg.norm(t, axis=-1, keepdims=True) * t_norm
-    return t[:, None, :]
+    """Pelvis-ray translation init with the infant pelvis convention
+    (opt_main_infant.py:259-263) — same solver as the adult ipo.init_translation."""
+    from zedo_tpu.zeroshot.ipo import init_translation
+
+    return init_translation(cond2d, k, t_norm,
+                            pelvis=pelvis_2d(cond2d, pelvis_mode))
 
 
 def ray_init_pose(cond2d, k, t, pelvis_mode: str) -> jax.Array:
@@ -116,7 +117,13 @@ def solve_one_hypothesis_infant(
     x0 = ray_init_pose(cond2d, k, ipo.translation, pelvis_mode)
     x0 = jnp.einsum("bij,bnj->bni", ipo.rot_mat, x0, precision=_EXACT)
 
-    oil_cfg = dataclasses.replace(cfg.oil, fixed_t_steps=refine_t_from)
+    # the reference hard-codes `i < 950` against its fixed 1000-step schedule
+    # (opt_main_infant.py:310-313) = "re-solve T in the final 5%"; scale that
+    # intent to the configured iteration count so --override
+    # ZeDO.OIL_iterations=K keeps a re-solve phase instead of silently never
+    # re-solving (code-review r2)
+    fixed = (refine_t_from * cfg.oil.iterations) // 1000
+    oil_cfg = dataclasses.replace(cfg.oil, fixed_t_steps=fixed)
     return run_oil(
         params, model_cfg, sde, sampler, x0, ipo.translation,
         cond2d, k, None, oil_cfg, rng=rng, precision=precision,

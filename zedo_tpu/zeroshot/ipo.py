@@ -53,13 +53,17 @@ class IPOResult(NamedTuple):
     loss: jax.Array  # final L1 loss (diagnostic)
 
 
-def init_translation(cond2d: jax.Array, k: jax.Array, t_norm: float) -> jax.Array:
+def init_translation(cond2d: jax.Array, k: jax.Array, t_norm: float,
+                     pelvis: jax.Array | None = None) -> jax.Array:
     """Pelvis back-projection scaled to ||T|| = t_norm (opt_main.py:177-179).
 
-    cond2d: [B, j, >=2] 2D keypoints (joint 0 = pelvis); k: [B, 3, 3].
+    cond2d: [B, j, >=2] 2D keypoints (joint 0 = pelvis); k: [B, 3, 3];
+    pelvis: optional [B, 2] override of the pelvis pixel (the infant pipeline
+    uses mean(hips) for the syrip convention — zeroshot/infant.pelvis_2d).
     Returns [B, 1, 3].
     """
-    pelvis = cond2d[:, 0, :2]
+    if pelvis is None:
+        pelvis = cond2d[:, 0, :2]
     hom = jnp.concatenate([pelvis, jnp.ones_like(pelvis[:, :1])], axis=-1)
     t = jnp.einsum("bij,bj->bi", inv_intrinsics(k), hom, precision=_EXACT)
     t = t / jnp.linalg.norm(t, axis=-1, keepdims=True) * t_norm

@@ -42,6 +42,8 @@ from zedo_tpu.ops.gradient_field import (
 )
 from zedo_tpu.ops.linalg import inv3x3
 
+_EXACT = jax.lax.Precision.HIGHEST
+
 
 @dataclasses.dataclass(frozen=True)
 class OILConfig:
@@ -101,7 +103,9 @@ def solve_translation_fast(geo: Geometry, key3d: jax.Array) -> jax.Array:
     """T = ATA^-1 ATb with the precomputed inverse; z-flip as in the
     reference (simple_zeroshot_opt.py:92-93). Returns [B, 1, 3]."""
     atb = normal_rhs(geo.rx, geo.ry, geo.w, key3d)
-    t = jnp.einsum("bij,bj->bi", geo.ata_inv, atb)
+    # HIGHEST: the per-step translation feeds the ray gradient; bf16 MXU
+    # rounding here is ~5-10mm on a ~3m translation (geometry stays exact)
+    t = jnp.einsum("bij,bj->bi", geo.ata_inv, atb, precision=_EXACT)
     return flip_negative_z(t)[:, None, :]
 
 
@@ -156,6 +160,15 @@ def run_oil(
     if standard_model and _fast_supported(sde, sampler):
         return _run_oil_fast(
             params, model_cfg, sde, geo, x0, t0, timestamps, cfg, precision
+        )
+    if cfg.score_reuse > 1:
+        # reuse is characterized for the exact deterministic fast path only;
+        # with correctors / other predictors / custom models the NFE saving
+        # is not implemented — fail loudly instead of silently ignoring it
+        raise NotImplementedError(
+            "score_reuse > 1 requires the fast path (sub-VP SDE, "
+            "euler_maruyama predictor, no corrector, probability_flow, "
+            "standard ScoreMLP); this configuration takes the generic path"
         )
     return _run_oil_generic(
         params, model_cfg, sde, sampler, geo, x0, t0, timestamps, cfg, rng,
