@@ -886,6 +886,72 @@ def test_ski_reader_parity(rng, tmp_path):
                                np.asarray(rd.camera_param), rtol=1e-5)
 
 
+def test_infant_reader_parity(rng, tmp_path, monkeypatch):
+    """The reference mini_rgbd and syrip READERS (mini_rgbd.py:236-303,
+    syrip.py:216-310) on shared fixtures vs the repo's readers. The reference
+    hardcodes relative paths, so it runs chdir'ed into the fixture tree."""
+    from zedo_tpu.data.mini_rgbd import mini_rgbd as MyMini
+    from zedo_tpu.data.syrip import syrip as MySyrip
+
+    R = ref()
+    import lib.dataset.mini_rgbd as ref_mini
+    import lib.dataset.syrip as ref_syrip
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("data/mini-rgbd")
+    d = {"train": {}, "validate": {}}
+    for split, seq, count in [("train", "01", 6), ("validate", "11", 4)]:
+        for i in range(count):
+            d[split][f"{seq}_f{i}.txt"] = {
+                "pose_2d": rng.rand(25, 2).astype(np.float32) * 400 + 100,
+                "pose_3d": rng.randn(25, 3).astype(np.float32) * 0.1,
+            }
+    np.save("data/mini-rgbd/MINI-RGBD.npy", d)
+
+    for kw in (dict(subset="train", num_joint=17, abs_coord=True),
+               dict(subset="validate", num_joint=12, abs_coord=False)):
+        rd = ref_mini.mini_rgbd(gt2d=True, **kw)
+        mine = MyMini(root_path="data/mini-rgbd", gt2d=True, **kw)
+        np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d),
+                                   rtol=1e-6, err_msg=str(kw))
+        np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d),
+                                   rtol=1e-6, err_msg=str(kw))
+
+    # syrip: COCO stitching + negative-index maps + synthetic K
+    os.makedirs("data/syrip/SyRIP_3d_pred")
+    os.makedirs("data/syrip/SyRIP_3d_correction")
+    n = 6
+    names = np.array([f"path/to/img{i:03d}.jpg" for i in range(n)])
+    np.save("data/syrip/SyRIP_3d_pred/output_imgnames.npy", names)
+    np.save("data/syrip/SyRIP_3d_correction/correct_3D.npy",
+            rng.randn(n, 14, 3).astype(np.float32))
+    train_map = {f"img{i:03d}.jpg": [f"img{i:03d}.jpg", i] for i in range(4)}
+    test_map = {f"img{i:03d}.jpg": [f"img{i:03d}.jpg", i] for i in range(4, 6)}
+    np.save("data/syrip/train_rysip.npy", train_map)
+    np.save("data/syrip/test_rysip.npy", test_map)
+    pose2d = {
+        f"img{i:03d}.jpg": {
+            "h": 480, "w": 640, "bbox": [0, 0, 10, 10],
+            "keypoints": rng.rand(17, 3).astype(np.float32) * 400,
+        }
+        for i in range(n)
+    }
+    np.save("data/syrip/train_pose2d.npy",
+            {k: pose2d[k] for k in list(pose2d)[:4]})
+    np.save("data/syrip/test_pose2d.npy",
+            {k: pose2d[k] for k in list(pose2d)[4:]})
+
+    for subset in ("train", "validate"):
+        rd = ref_syrip.syrip(subset=subset, num_joint=12)
+        mine = MySyrip(subset=subset, num_joint=12, data_root="data/syrip")
+        np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d),
+                                   rtol=1e-6, err_msg=subset)
+        np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d),
+                                   rtol=1e-6, err_msg=subset)
+        np.testing.assert_allclose(mine.K, np.asarray(rd.K),
+                                   rtol=1e-6, err_msg=subset)
+
+
 # --------------------------------------------------- (b) K-step trajectories
 def _scene(rng, n=4, j=17):
     k = np.zeros((n, 3, 3), np.float32)
