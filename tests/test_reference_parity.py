@@ -534,6 +534,28 @@ def test_gradient_field_parity(rng):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_guidance_grad_parity(rng):
+    """get_match_grad_fn / get_sym_grad_fn (sampling.py:359-397) vs
+    diffusion/guidance.py — the torch-autograd gradients vs jax.grad."""
+    from zedo_tpu.diffusion import guidance
+
+    R = ref()
+    x = rng.randn(5, 17, 3).astype(np.float32) * 0.4
+    cond = rng.rand(5, 17, 2).astype(np.float32)
+
+    want = R.sampling.get_match_grad_fn(weight=0.7)(
+        torch.tensor(x), None, torch.tensor(cond)).numpy()
+    got = np.asarray(guidance.get_match_grad_fn(weight=0.7)(
+        jnp.asarray(x), None, jnp.asarray(cond)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    want = R.sampling.get_sym_grad_fn(weight=1.3)(
+        torch.tensor(x), None, None).numpy()
+    got = np.asarray(guidance.get_sym_grad_fn(weight=1.3)(
+        jnp.asarray(x), None))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
 def test_quaternion_to_matrix_parity(rng):
     R = ref()
     q = rng.randn(64, 4).astype(np.float32)
