@@ -219,8 +219,6 @@ def test_eval_multi_sample_interval_strides_gt_all_datasets(rng):
     """eval_multi(sample_interval=k) strides predictions AND GT together on
     every whole-set dataset (code-review r2: pw3d/ski/custom/mini/syrip
     strided preds only and crashed or mispaired)."""
-    import types
-
     from zedo_tpu.data.custom import CustomDataset
     from zedo_tpu.data.mini_rgbd import mini_rgbd
     from zedo_tpu.data.ski import skiPose

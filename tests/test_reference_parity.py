@@ -933,7 +933,7 @@ def test_infant_reader_parity(rng, tmp_path, monkeypatch):
     for kw in (dict(subset="train", num_joint=17, abs_coord=True),
                dict(subset="validate", num_joint=12, abs_coord=False)):
         rd = ref_mini.mini_rgbd(gt2d=True, **kw)
-        mine = MyMini(root_path="data/mini-rgbd", gt2d=True, **kw)
+        mine = MyMini(data_root="data/mini-rgbd", gt2d=True, **kw)
         np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d),
                                    rtol=1e-6, err_msg=str(kw))
         np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d),

@@ -286,7 +286,10 @@ def train_loop(
         if epoch % trainer_cfg.eval_freq == 0:
             # EMA-weight sampling (train_pose_mini.py:365-386)
             eval_bs = min(config.eval.batch_size, n)
-            key, sample_key = jax.random.split(key)
+            # derived from the epoch stream, NOT by splitting the base key:
+            # splitting would make later epochs' noise depend on how many
+            # evals ran, breaking resume reproducibility (code review r2)
+            sample_key = jax.random.fold_in(epoch_key, 1 << 30)
 
             def model_fn(x, labels, cond, msk):
                 return model_apply_raw(

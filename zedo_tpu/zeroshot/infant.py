@@ -8,7 +8,10 @@ pipeline:
     camera rays normalized by the pelvis-ray norm, scaled to ||T||, and
     pelvis-centered (opt_main_infant.py:281-292); the cluster pose only
     drives the IPO rotation fit;
-  * the translation stays fixed until step `refine_t_from` (hard-coded 950
+  * the translation stays fixed until the final (1000 - refine_t_from)/1000
+    fraction of the schedule — `refine_t_from` is expressed on the
+    reference's 1000-step scale and rescaled to the configured iteration
+    count (the reference hard-codes `i < 950`
     in the reference, opt_main_infant.py:310-313), then is re-solved;
   * confidences unused (conf=None).
 
@@ -28,7 +31,7 @@ from zedo_tpu.diffusion.sampling import PCSampler
 from zedo_tpu.diffusion.sde import SDE
 from zedo_tpu.models import score_mlp
 from zedo_tpu.ops.linalg import inv_intrinsics
-from zedo_tpu.zeroshot.ipo import run_ipo
+from zedo_tpu.zeroshot.ipo import init_translation, run_ipo
 from zedo_tpu.zeroshot.oil import OILResult, run_oil
 from zedo_tpu.zeroshot.pipeline import SolveResult, ZeDOConfig
 
@@ -58,8 +61,6 @@ def pelvis_2d(cond2d: jax.Array, pelvis_mode: str) -> jax.Array:
 def init_translation_infant(cond2d, k, t_norm, pelvis_mode: str) -> jax.Array:
     """Pelvis-ray translation init with the infant pelvis convention
     (opt_main_infant.py:259-263) — same solver as the adult ipo.init_translation."""
-    from zedo_tpu.zeroshot.ipo import init_translation
-
     return init_translation(cond2d, k, t_norm,
                             pelvis=pelvis_2d(cond2d, pelvis_mode))
 
