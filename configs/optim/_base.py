@@ -68,6 +68,10 @@ def build_optim_config(get_defaults, dataset: str, zedo: dict, num_joint=None):
     # extension over the reference: opt-in score-net NFE reduction
     # (`--override ZeDO.score_reuse=2`; exact reference dynamics at 1)
     z.score_reuse = zedo.get("score_reuse", 1)
+    # exact-GN mode for the fused kernel: run the GroupNorm stats matmuls in
+    # f32 even with bf16 weights (`--override ZeDO.gn_fp32=True`; the bf16
+    # default costs a measured +0.02mm — ops/pallas/score_kernel.py)
+    z.gn_fp32 = zedo.get("gn_fp32", False)
     return config
 
 

@@ -383,3 +383,44 @@ def test_oil_with_langevin_corrector(rng):
                           jnp.asarray(t_true), jnp.asarray(px), jnp.asarray(k),
                           None, cfg, rng=jax.random.PRNGKey(0))
     assert np.isfinite(np.asarray(res.pose)).all()
+
+
+def test_oil_reproj_trace_decreases(rng):
+    """OILConfig.track_reproj carries the per-step mean pixel reprojection
+    error out of the scan (the reference's per-iteration `projection_error`
+    log, opt_main_infant.py:306-308); on a consistent synthetic scene the
+    trace decreases as OIL pulls the pose onto the camera rays."""
+    k, pose, t_true, px = _scene(rng, n=5)
+    cfg_m, _, params = _tiny_model_and_params()
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=True, denoise=True, eps=0.01)
+    x0 = (pose + rng.randn(*pose.shape).astype(np.float32) * 0.1).astype(np.float32)
+    cfg = oil_lib.OILConfig(iterations=30, sampling_eps=0.01,
+                            track_reproj=True)
+
+    res = oil_lib.run_oil(
+        params, cfg_m, sde, sampler,
+        jnp.asarray(x0), jnp.asarray(t_true), jnp.asarray(px), jnp.asarray(k),
+        None, cfg,
+    )
+    trace = np.asarray(res.reproj_px)
+    assert trace.shape == (30,)
+    assert np.isfinite(trace).all() and (trace > 0).all()
+    # monotone-ish: the endpoint is well below the start, and the second
+    # half is uniformly below the first recorded error
+    assert trace[-1] < 0.5 * trace[0]
+    assert (trace[15:] < trace[0]).all()
+
+    # the generic path carries the same trace
+    gen_sampler = PCSampler(sde=sde, predictor="reverse_diffusion",
+                            corrector="none", probability_flow=True,
+                            denoise=True, eps=0.01)
+    res_g = oil_lib.run_oil(
+        params, cfg_m, sde, gen_sampler,
+        jnp.asarray(x0), jnp.asarray(t_true), jnp.asarray(px), jnp.asarray(k),
+        None, cfg,
+    )
+    trace_g = np.asarray(res_g.reproj_px)
+    assert trace_g.shape == (30,) and np.isfinite(trace_g).all()
+    assert trace_g[-1] < 0.5 * trace_g[0]

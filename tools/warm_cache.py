@@ -1,0 +1,51 @@
+"""Regenerate the in-repo precompiled-executable cache (artifacts/xla_cache).
+
+Runs the flagship bench program (H36M 886x50, bf16, fused kernel) against a
+scratch compilation-cache dir on the real TPU, then copies the resulting
+entries into artifacts/xla_cache for `enable_compilation_cache` to seed onto
+fresh hosts (utils/config.py). Re-run after ANY change that alters the traced
+solve program (oil/pipeline/kernel/model code, bench shapes) — stale entries
+are harmless (key mismatch -> normal compile) but useless.
+
+Usage:  python tools/warm_cache.py
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACTS = os.path.join(REPO, "artifacts", "xla_cache")
+
+
+def main():
+    scratch = tempfile.mkdtemp(prefix="zedo_warm_cache_")
+    env = dict(os.environ)
+    env["ZEDO_COMPILATION_CACHE"] = scratch
+    print(f"running bench against scratch cache {scratch} ...")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO,
+    )
+    if proc.returncode != 0:
+        raise SystemExit(f"bench failed rc={proc.returncode}; cache not updated")
+
+    os.makedirs(ARTIFACTS, exist_ok=True)
+    for name in os.listdir(ARTIFACTS):
+        os.remove(os.path.join(ARTIFACTS, name))
+    n = 0
+    total = 0
+    for name in sorted(os.listdir(scratch)):
+        src = os.path.join(scratch, name)
+        shutil.copy2(src, os.path.join(ARTIFACTS, name))
+        n += 1
+        total += os.path.getsize(src)
+    print(f"captured {n} cache entries ({total / 1e6:.1f} MB) -> {ARTIFACTS}")
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -223,6 +223,8 @@ class PCSampler:
         x_init=None,
         warm_start_steps: int = 0,
         return_trajectory: bool = False,
+        guidance_fn=None,
+        guidance_condition=None,
     ):
         """Full N-step PC sampling as one lax.scan (role of the reference's
         missing `sampling_train` + legacy lib/sampling.py loop).
@@ -233,6 +235,12 @@ class PCSampler:
         passes noisy input, lib/sampling.py:547-550).
         warm_start_steps: force t=1.0 for the first k steps
         (lib/sampling.py:564-567 used 50).
+        guidance_fn: optional (x, t, cond) -> [*, j, d] gradient of a
+        steering objective, descended after each predictor step (the
+        reference defines match/symmetry factories but never wires them —
+        sampling.py:359-397; diffusion/guidance.py rebuilds them).
+        guidance_condition: passed as `cond` to guidance_fn (e.g. [*, j, 2]
+        2D targets for the match objective); defaults to `condition`.
         """
         prior_rng, scan_rng = jax.random.split(rng)
         x = self.sde.prior_sampling(prior_rng, shape) if x_init is None else x_init
@@ -271,6 +279,11 @@ class PCSampler:
             x, x_mean = impute(x, x_mean, vec_t, ic_rng)
             x, x_mean = predictor_fn(rsde, p_rng, x, vec_t, condition, mask)
             x, x_mean = impute(x, x_mean, vec_t, ip_rng)
+            if guidance_fn is not None:
+                g_cond = (guidance_condition if guidance_condition is not None
+                          else condition)
+                x = x - guidance_fn(x, vec_t, g_cond)
+                x_mean = x_mean - guidance_fn(x_mean, vec_t, g_cond)
             return (x, x_mean), (x if return_trajectory else None)
 
         (x, x_mean), trajs = jax.lax.scan(body, (x, x), (timesteps, step_idx))

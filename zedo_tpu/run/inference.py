@@ -23,7 +23,8 @@ def parse_args(argv):
     parser.add_argument("--eval", action="store_true", default=False,
                         help="evaluate against provided GT 3D")
     parser.add_argument("--ema", action="store_true", default=False)
-    parser.add_argument("--dtype", type=str, default="fp32", choices=["fp32", "bf16"])
+    parser.add_argument("--dtype", type=str, default="auto",
+                        choices=["auto", "fp32", "bf16"])
     parser.add_argument("--save", type=str, default="results.npy")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cluster_dir", type=str, default="clusters")

@@ -52,7 +52,11 @@ def parse_args(argv):
     parser.add_argument("--hypo", type=int, default=1, help="number of hypotheses")
     parser.add_argument("--ema", action="store_true", default=False,
                         help="apply EMA weights (reference loads-but-ignores them)")
-    parser.add_argument("--dtype", type=str, default="fp32", choices=["fp32", "bf16"])
+    parser.add_argument("--dtype", type=str, default="auto",
+                        choices=["auto", "fp32", "bf16"],
+                        help="auto = bf16 on TPU (the benchmarked flagship "
+                             "path; e2e delta vs fp32 bounded at 0.010mm), "
+                             "fp32 elsewhere")
     parser.add_argument("--save", type=str, default=None, help="save results .npy")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cluster_dir", type=str, default="clusters")
@@ -120,7 +124,12 @@ def run_pipeline(config, args, dataset, logger_print=print):
                 "step": raw.get("step", 0)}
     logger_print(f"=> loaded checkpoint '{ckpt_path}' (step {ckpt['step']})")
     params = ckpt["ema_params"] if (args.ema and ckpt["ema_params"]) else ckpt["params"]
-    if args.dtype == "bf16":
+    from zedo_tpu.utils.config import resolve_dtype
+
+    dtype = resolve_dtype(args.dtype)
+    if dtype != args.dtype:
+        logger_print(f"--dtype auto -> {dtype} on {jax.devices()[0].platform}")
+    if dtype == "bf16":
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
         precision = None
     else:

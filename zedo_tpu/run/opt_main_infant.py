@@ -37,7 +37,8 @@ def parse_args(argv):
     parser.add_argument("--hypo", type=int, default=1)
     parser.add_argument("--control", default=False, action="store_true")
     parser.add_argument("--cond", default=False, action="store_true")
-    parser.add_argument("--dtype", type=str, default="fp32", choices=["fp32", "bf16"])
+    parser.add_argument("--dtype", type=str, default="auto",
+                        choices=["auto", "fp32", "bf16"])
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--cluster_path", type=str, default=None,
                         help="cluster npy (default mini_cluster_{hypo}.npy)")
@@ -148,11 +149,22 @@ def main(args):
         reps = -(-args.hypo // len(sample_poses))
         sample_poses = np.tile(sample_poses, (reps, 1, 1))
     clusters = jnp.asarray(sample_poses[: args.hypo], jnp.float32)
-    if args.dtype == "bf16":
+    from zedo_tpu.utils.config import resolve_dtype
+
+    dtype = resolve_dtype(args.dtype)
+    if dtype == "bf16":
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
         precision = None
     else:
         precision = jax.lax.Precision.HIGHEST
+
+    # per-step reprojection diagnostic (reference opt_main_infant.py:306-308
+    # logs it every OIL iteration); carried out of the scan at zero host-sync
+    # cost and summarized below
+    import dataclasses
+
+    zcfg = dataclasses.replace(
+        zcfg, oil=dataclasses.replace(zcfg.oil, track_reproj=True))
 
     result = infant.solve_infant(
         params, model_apply, model_cfg, sde, sampler, zcfg,
@@ -161,6 +173,17 @@ def main(args):
         rng=jax.random.PRNGKey(args.seed), precision=precision,
     )
     batch_results = np.asarray(result.poses)
+    reproj = np.asarray(result.reproj_px)  # [S, steps]
+    n_steps = reproj.shape[1]
+    marks = sorted({0, n_steps // 4, n_steps // 2, 3 * n_steps // 4, n_steps - 1})
+    trace = "  ".join(f"step {i}: {reproj[:, i].mean():.2f}px" for i in marks)
+    print(f"reprojection error (mean over {reproj.shape[0]} hypothesis(es)): {trace}")
+    # final max bone length (reference tracks it per step but never uses it,
+    # opt_main_infant.py:316-320; the final-pose summary is the useful signal)
+    mbl = np.asarray(infant.max_bone_length(
+        jnp.asarray(batch_results.reshape(-1, *batch_results.shape[2:]))))
+    print(f"max bone length (final poses): mean {mbl.mean():.4f}m, "
+          f"max {mbl.max():.4f}m")
     if args.save:
         np.save(args.save, batch_results)
 

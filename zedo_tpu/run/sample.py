@@ -43,6 +43,16 @@ def parse_args(argv):
                         choices=[None, "pc", "ode"], help="override config")
     parser.add_argument("--warm_start_steps", type=int, default=0,
                         help="legacy warm start (lib/sampling.py:564-567 used 50)")
+    parser.add_argument("--guide", type=str, default=None,
+                        choices=[None, "match", "sym"],
+                        help="guidance objective descended each step "
+                             "(reference sampling.py:359-397, never wired "
+                             "there): 'match' pulls sample x-y toward "
+                             "--guide_input 2D targets; 'sym' penalizes "
+                             "left/right limb-length asymmetry")
+    parser.add_argument("--guide_weight", type=float, default=1.0)
+    parser.add_argument("--guide_input", type=str, default=None,
+                        help="npy with [N, j, 2] 2D targets (--guide match)")
     parser.add_argument("--ema", action="store_true", default=False)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--save", type=str, default="samples.npy")
@@ -130,9 +140,26 @@ def main(args):
             if args.task == "den":
                 x_init = jnp.asarray(data)
                 mask = None
+        guidance_fn = None
+        guidance_condition = None
+        guide = getattr(args, "guide", None)
+        if guide == "match":
+            from zedo_tpu.diffusion.guidance import get_match_grad_fn
+
+            if getattr(args, "guide_input", None) is None:
+                raise SystemExit("--guide match requires --guide_input "
+                                 "(npy with [N, j, 2] 2D targets)")
+            guidance_condition = jnp.asarray(
+                np.load(args.guide_input).astype(np.float32))
+            guidance_fn = get_match_grad_fn(getattr(args, "guide_weight", 1.0))
+        elif guide == "sym":
+            from zedo_tpu.diffusion.guidance import get_sym_gradient_fn
+
+            guidance_fn = get_sym_gradient_fn(getattr(args, "guide_weight", 1.0))
         samples = sampler.sample_loop(
             score_fn, rng, shape, condition=condition, mask=mask, x_init=x_init,
             warm_start_steps=args.warm_start_steps,
+            guidance_fn=guidance_fn, guidance_condition=guidance_condition,
         )
 
     samples = np.asarray(samples)

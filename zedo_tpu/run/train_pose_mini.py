@@ -69,6 +69,35 @@ def build_train_dataset(config, args):
     raise ValueError(name)
 
 
+def build_eval_dataset(config, args):
+    """Held-out split for the per-eval validation metrics
+    (trainer: Eval/prior_mahalanobis + Eval/zeroshot_mpjpe_mm). The
+    reference builds its validate loader too (train_pose_mini.py:252-254)
+    but never scores against it."""
+    from pathlib import Path
+
+    from zedo_tpu.data import H36MDataset3D, mini_rgbd, syrip
+
+    name = config.data.dataset
+    nj = config.DATASET.NUM_JOINT
+    kwargs = dict(gt2d=True, read_confidence=False, sample_interval=1)
+    try:
+        if name == "h36m":
+            return H36MDataset3D(Path("data", "h36m"), "test", gt2d=True,
+                                 sample_interval=1)
+        if name == "mini":
+            return mini_rgbd("validate", num_joint=17, **kwargs)
+        if name == "syrip":
+            return syrip("validate", num_joint=nj, **kwargs)
+        if name in ("syrip_concat", "concate"):
+            # mini's validate split (syrip's "validate" is its test images;
+            # one consistent population suffices for the trend metrics)
+            return mini_rgbd("validate", num_joint=nj, **kwargs)
+    except Exception as e:  # missing files: train without validation signals
+        print(f"note: no held-out split for validation metrics ({e})")
+    return None
+
+
 def main(args):
     config = FLAGS.config
     from zedo_tpu.utils.config import apply_overrides, enable_compilation_cache
@@ -117,6 +146,7 @@ def main(args):
     try:
         trainer.train_loop(
             config, dataset,
+            test_dataset=build_eval_dataset(config, args),
             output_dir=final_output_dir,
             model_cfg=model_cfg,
             trainer_cfg=tcfg,

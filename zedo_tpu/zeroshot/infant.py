@@ -154,4 +154,5 @@ def solve_infant(
     return SolveResult(
         poses=jnp.swapaxes(result.pose, 0, 1),
         translations=jnp.swapaxes(result.translation, 0, 1),
+        reproj_px=result.reproj_px if cfg.oil.track_reproj else None,
     )

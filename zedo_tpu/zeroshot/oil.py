@@ -69,6 +69,15 @@ class OILConfig:
     # like PFDiff — adjacent OIL timesteps differ by only 9e-5 in t, and the
     # geometry step still runs every iteration). k=2 halves NFE.
     score_reuse: int = 1
+    # run the pallas kernel's GroupNorm stats matmuls in f32 regardless of
+    # the weight dtype (exact-GN mode; the bf16 default costs +0.02mm —
+    # ops/pallas/score_kernel.py); reachable via --override ZeDO.gn_fp32=True
+    gn_fp32: bool = False
+    # carry the mean |K(x+T) - cond2d| pixel reprojection error out of the
+    # scan each step (the reference's per-iteration `projection_error` log,
+    # opt_main_infant.py:306-308); off by default — it adds a [B, j, 3]
+    # projection einsum per step to the hot loop
+    track_reproj: bool = False
 
     @property
     def n_fixed(self) -> int:
@@ -118,6 +127,9 @@ class OILResult(NamedTuple):
     pose: jax.Array  # [B, j, 3] final root-relative pose estimate
     translation: jax.Array  # [B, 1, 3] final solved camera translation
     grad_norms: jax.Array  # [steps] mean ray-gradient norm per step (diagnostic)
+    # [steps] mean pixel reprojection error per step when
+    # OILConfig.track_reproj, else a zero scalar per step (free under XLA DCE)
+    reproj_px: jax.Array = None
 
 
 def _fast_supported(sde: SDE, sampler: PCSampler) -> bool:
@@ -156,10 +168,24 @@ def run_oil(
     geo = precompute_geometry(cond2d, k, conf)
     timestamps = jnp.linspace(sde.T, cfg.sampling_eps, cfg.iterations)
 
+    if cfg.track_reproj:
+        # mean |K(x+T) - cond2d| pixel error, the reference's per-iteration
+        # `projection_error` diagnostic (opt_main_infant.py:306-308), computed
+        # at step entry (before the T re-solve) exactly as the reference does
+        def reproj_fn(x, t_cur):
+            cam = x + t_cur
+            proj = jnp.einsum("bij,bnj->bni", k, cam, precision=_EXACT)
+            px = proj[..., :2] / proj[..., 2:]
+            return jnp.mean(jnp.abs(px - cond2d[..., :2]))
+    else:
+        def reproj_fn(x, t_cur):
+            return jnp.float32(0.0)
+
     standard_model = model_apply is None or model_apply is score_mlp.apply
     if standard_model and _fast_supported(sde, sampler):
         return _run_oil_fast(
-            params, model_cfg, sde, geo, x0, t0, timestamps, cfg, precision
+            params, model_cfg, sde, geo, x0, t0, timestamps, cfg, precision,
+            reproj_fn,
         )
     if cfg.score_reuse > 1:
         # reuse is characterized for the exact deterministic fast path only;
@@ -172,7 +198,7 @@ def run_oil(
         )
     return _run_oil_generic(
         params, model_cfg, sde, sampler, geo, x0, t0, timestamps, cfg, rng,
-        precision, model_apply or score_mlp.apply,
+        precision, model_apply or score_mlp.apply, reproj_fn,
     )
 
 
@@ -194,7 +220,8 @@ def _pallas_eligible(params, model_cfg) -> bool:
 
 
 def _run_oil_fast(
-    params, model_cfg, sde: SubVPSDE, geo: Geometry, x0, t0, timestamps, cfg, precision
+    params, model_cfg, sde: SubVPSDE, geo: Geometry, x0, t0, timestamps, cfg,
+    precision, reproj_fn,
 ) -> OILResult:
     # model compute dtype follows the params (bf16 weights -> bf16 MXU path);
     # geometry stays in the x dtype (f32)
@@ -224,7 +251,10 @@ def _run_oil_fast(
     if use_pallas:
         from zedo_tpu.ops.pallas import score_kernel as sk
 
-        packed = sk.pack_weights(params, model_cfg, dtype=model_dtype)
+        packed = sk.pack_weights(
+            params, model_cfg, dtype=model_dtype,
+            gn_dtype=jnp.float32 if cfg.gn_fp32 else None,
+        )
         # [steps, 5, H] per-step layer vectors, precomputed outside the scan
         vecs_table = jax.vmap(lambda e: sk.step_vectors(packed, e))(temb_table)
         io = model_cfg.n_joints * model_cfg.joint_dim
@@ -259,6 +289,7 @@ def _run_oil_fast(
     def body(carry, xs):
         x, t_cur, out_prev = carry
         step_xs, c1_i, c2_i, resolve_i, eval_i = xs
+        reproj = reproj_fn(x, t_cur)
         t_new = solve_translation_fast(geo, x)
         t_cur = jnp.where(resolve_i, t_new, t_cur)
         grad = ray_gradient(geo, x, t_cur)
@@ -277,18 +308,21 @@ def _run_oil_fast(
                 x,
             )
         x = x + c1_i * x - c2_i * out
-        return (x, t_cur, out), jnp.mean(jnp.linalg.norm(grad, axis=-1))
+        ys = (jnp.mean(jnp.linalg.norm(grad, axis=-1)), reproj)
+        return (x, t_cur, out), ys
 
-    (x, t_final, _), grad_norms = jax.lax.scan(
+    (x, t_final, _), (grad_norms, reproj_px) = jax.lax.scan(
         body, (x0, t0, jnp.zeros_like(x0)),
         (step_tables, c1, c2, resolve, eval_mask),
     )
-    return OILResult(pose=x, translation=t_final, grad_norms=grad_norms)
+    return OILResult(pose=x, translation=t_final, grad_norms=grad_norms,
+                     reproj_px=reproj_px)
 
 
 def _run_oil_generic(
     params, model_cfg, sde, sampler: PCSampler, geo: Geometry, x0, t0,
     timestamps, cfg, rng, precision, model_apply=score_mlp.apply,
+    reproj_fn=lambda x, t: jnp.float32(0.0),
 ) -> OILResult:
     """Any predictor/corrector via the registry; one zedo_pc_step per
     iteration (matches sampling.py:450-527 semantics exactly)."""
@@ -305,6 +339,7 @@ def _run_oil_generic(
     def body(carry, xs):
         x, t_cur = carry
         t_i, resolve_i, i = xs
+        reproj = reproj_fn(x, t_cur)
         t_new = solve_translation_fast(geo, x)
         t_cur = jnp.where(resolve_i, t_new, t_cur)
         grad = ray_gradient(geo, x, t_cur)
@@ -312,9 +347,10 @@ def _run_oil_generic(
         step_rng = jax.random.fold_in(rng, i)
         x_next, x_mean = sampler.zedo_pc_step(score_fn, step_rng, x, t_i)
         x = x_mean if sampler.denoise else x_next
-        return (x, t_cur), jnp.mean(jnp.linalg.norm(grad, axis=-1))
+        return (x, t_cur), (jnp.mean(jnp.linalg.norm(grad, axis=-1)), reproj)
 
-    (x, t_final), grad_norms = jax.lax.scan(
+    (x, t_final), (grad_norms, reproj_px) = jax.lax.scan(
         body, (x0, t0), (timestamps, resolve, jnp.arange(cfg.iterations))
     )
-    return OILResult(pose=x, translation=t_final, grad_norms=grad_norms)
+    return OILResult(pose=x, translation=t_final, grad_norms=grad_norms,
+                     reproj_px=reproj_px)

@@ -54,6 +54,8 @@ class ZeDOConfig:
                 # `--override ZeDO.score_reuse=2` (exact dynamics at 1;
                 # +0.1mm characterized at 2 — test_system_synthetic.py)
                 score_reuse=int(z.get("score_reuse", 1)),
+                # exact-GN escape hatch (--override ZeDO.gn_fp32=True)
+                gn_fp32=bool(z.get("gn_fp32", False)),
             ),
         )
 
@@ -61,6 +63,9 @@ class ZeDOConfig:
 class SolveResult(NamedTuple):
     poses: jax.Array  # [N, S, j, 3]
     translations: jax.Array  # [N, S, 1, 3]
+    # [S, steps] per-step mean pixel reprojection error when the solve ran
+    # with OILConfig.track_reproj (infant CLI); None otherwise
+    reproj_px: Optional[jax.Array] = None
 
 
 def solve_one_hypothesis(
