@@ -525,3 +525,50 @@ def test_preemption_checkpoint_and_resume(tmp_path, rng):
         restore_dir=str(tmp_path / "p" / "checkpoint_preempt"),
     )
     assert int(state2.step) > int(state.step) - 8  # continued, didn't restart
+
+
+def test_train_cli_end_to_end(tmp_path, rng, monkeypatch):
+    """Drive run.train_pose_mini.main: 2 epochs on a mini-rgbd fixture,
+    including the held-out validation wiring (build_eval_dataset) and the
+    per-eval metrics."""
+    import types as _types
+
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    import zedo_tpu.run.train_pose_mini as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("data/mini-rgbd")
+    d = {"train": {}, "validate": {}}
+    for split, seq, count in [("train", "01", 8), ("validate", "11", 4)]:
+        for i in range(count):
+            d[split][f"{seq}_f{i}.txt"] = {
+                "pose_2d": rng.rand(25, 2).astype(np.float32) * 400 + 100,
+                "pose_3d": rng.randn(25, 3).astype(np.float32) * 0.1,
+            }
+    np.save("data/mini-rgbd/MINI-RGBD.npy", d)
+
+    config = mini_cfg.get_config()
+    config.data.dataset = "mini"
+    config.DATASET.NUM_JOINT = 17
+    config.training.batch_size = 8
+    config.eval.batch_size = 4
+    config.model.num_scales = 20
+    monkeypatch.setattr(train_cli, "FLAGS", _types.SimpleNamespace(config=config))
+    args = _types.SimpleNamespace(
+        restore_dir=None, sample=None, flip=False, rotflip=False,
+        fine_tune=False, fine_tune_ckpt=None, name="t", log_name=None,
+        aug=False, scaled=False, epochs=2, override=[],
+    )
+    train_cli.main(args)
+    # output tree created with a checkpoint + eval samples at epoch 0
+    import glob
+
+    runs = glob.glob("output/*/*")
+    assert runs, "no output run dir created"
+    assert glob.glob(os.path.join(runs[0], "checkpoint_0"))
+    assert glob.glob(os.path.join(runs[0], "results_0.npy"))
+    # the held-out split produced the validation metrics in the train log
+    log_files = glob.glob(os.path.join(runs[0], "*.log"))
+    text = "".join(open(f).read() for f in log_files)
+    assert "prior mahalanobis" in text
+    assert "zero-shot MPJPE" in text

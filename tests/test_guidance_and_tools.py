@@ -163,3 +163,40 @@ def test_ema_from_native_checkpoint(tmp_path, rng):
         np.asarray(ema["shadow_params"]["pre_dense"]["weight"]),
         np.asarray(params["pre_dense"]["weight"]) * 0.5, atol=1e-7,
     )
+
+
+def test_cli_int_arg_errors():
+    from zedo_tpu.utils.config import cli_int_arg
+
+    assert cli_int_arg(["x", "--n", "5"], "--n", 1) == 5
+    assert cli_int_arg(["x"], "--n", 7) == 7
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="--n requires an integer"):
+        cli_int_arg(["x", "--n"], "--n", 1)  # flag is last token
+    with _pytest.raises(SystemExit, match="--n requires an integer"):
+        cli_int_arg(["x", "--n", "abc"], "--n", 1)
+
+
+def test_cache_seeding(tmp_path, monkeypatch):
+    """enable_compilation_cache seeds the active cache dir from the in-repo
+    artifact cache (precompiled flagship executables; DESIGN 'Cold start')."""
+    from zedo_tpu.utils import config as cfg_mod
+
+    art = tmp_path / "art"
+    art.mkdir()
+    (art / "jit_x-abc-cache").write_bytes(b"exe1")
+    target = tmp_path / "cache"
+    target.mkdir()
+    (target / "existing-cache").write_bytes(b"keep")
+    monkeypatch.setattr(cfg_mod, "_ARTIFACT_CACHE", str(art))
+    cfg_mod._seed_cache_from_artifacts(str(target))
+    assert (target / "jit_x-abc-cache").read_bytes() == b"exe1"
+    assert (target / "existing-cache").read_bytes() == b"keep"
+    # seeding never overwrites newer local entries
+    (art / "existing-cache").write_bytes(b"stale")
+    cfg_mod._seed_cache_from_artifacts(str(target))
+    assert (target / "existing-cache").read_bytes() == b"keep"
+    # missing artifact dir is a silent no-op
+    monkeypatch.setattr(cfg_mod, "_ARTIFACT_CACHE", str(tmp_path / "nope"))
+    cfg_mod._seed_cache_from_artifacts(str(target))
