@@ -43,6 +43,95 @@ print("init_distributed OK")
 """
 
 
+_CHILD_TRAIN = r"""
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+from zedo_tpu.parallel import mesh as mesh_lib
+mesh_lib.init_distributed(coordinator_address="localhost:" + port,
+                          num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+import ml_collections
+from jax.sharding import NamedSharding, PartitionSpec as P
+from zedo_tpu.diffusion import losses as losses_lib
+from zedo_tpu.diffusion.sde import SubVPSDE
+from zedo_tpu.models import score_mlp
+from zedo_tpu.train import trainer
+
+mesh = mesh_lib.default_mesh()  # spans both processes' devices
+assert mesh.devices.size == 8, mesh.devices.size
+
+cfg = score_mlp.ScoreMLPConfig(n_joints=17, joint_dim=3, hidden_dim=64,
+                               embed_dim=32, n_blocks=1,
+                               embedding_type="positional")
+params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
+conf = ml_collections.ConfigDict()
+conf.optim = ml_collections.ConfigDict(dict(
+    optimizer="Adam", lr=2e-4, beta1=0.9, eps=1e-8, warmup=0,
+    grad_clip=1.0, weight_decay=0))
+optimizer = losses_lib.get_optimizer(conf)
+state = losses_lib.init_train_state(params, optimizer, ema_decay=0.9999)
+sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=1.0)
+step, bsh = trainer.make_sharded_train_step(
+    mesh, sde, score_mlp.apply, cfg, optimizer)
+
+repl = NamedSharding(mesh, P())
+def replicate(x):
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, repl, lambda idx: x[idx])
+state = jax.tree.map(replicate, state)
+rng = jax.tree.map(replicate, jax.random.PRNGKey(7))
+gbatch = np.linspace(0, 1, 16 * 17 * 3, dtype=np.float32).reshape(16, 17, 3)
+batch = jax.make_array_from_callback(gbatch.shape, bsh, lambda idx: gbatch[idx])
+
+new_state, loss = step(state, rng, batch, None, None)
+jax.block_until_ready(loss)
+loss_v = float(np.asarray(jax.device_get(loss.addressable_data(0))))
+wsum = jax.jit(lambda s: jnp.sum(s.params["pre_dense"]["weight"]),
+               out_shardings=repl)(new_state)
+wsum_v = float(np.asarray(jax.device_get(wsum.addressable_data(0))))
+print(f"RESULT loss={loss_v:.6f} wsum={wsum_v:.6f} "
+      f"step={int(jax.device_get(new_state.step.addressable_data(0)))}")
+jax.distributed.shutdown()
+"""
+
+
+def test_two_process_data_parallel_train_step(tmp_path):
+    """The framework's sharded train step across TWO real processes: a
+    4+4-device global mesh, batch globally sharded, gradient all-reduce over
+    the cross-process (Gloo) backend — the CPU analogue of a 2-host DCN
+    launch. Both processes must compute the identical loss AND identical
+    updated weights (the all-reduce is what keeps replicas in sync)."""
+    import subprocess as sp
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    env.get("PYTHONPATH", "")) if p
+    )
+    port = "12898"
+    procs = [
+        sp.Popen([sys.executable, "-c", _CHILD_TRAIN, str(pid), port],
+                 env=env, stdout=sp.PIPE, stderr=sp.PIPE, text=True,
+                 cwd=str(tmp_path))
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, (out, err)
+        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+        assert len(lines) == 1, out
+        outs.append(lines[0])
+    assert outs[0] == outs[1], outs  # replicas stayed bit-identical
+    assert "step=1" in outs[0]
+
+
 def test_init_distributed_single_process():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

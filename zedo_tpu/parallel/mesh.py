@@ -8,6 +8,14 @@ the same model scales if widened.
 
 Multi-host: call `init_distributed()` (jax.distributed.initialize) before
 building a mesh; `jax.devices()` then spans all hosts, GSPMD handles DCN.
+Launch recipe (one command per host):
+    init_distributed(coordinator_address="<host0>:<port>",
+                     num_processes=H, process_id=h)
+then `default_mesh()` spans all H hosts' chips; shard global arrays with
+`jax.make_array_from_callback`/`jax.make_array_from_process_local_data`.
+Exercised end-to-end by tests/test_distributed.py: a real 2-process run of
+the sharded train step (cross-process gradient all-reduce, replicas
+bit-identical) and the single-process bring-up path.
 """
 from __future__ import annotations
 
