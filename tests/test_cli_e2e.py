@@ -572,3 +572,45 @@ def test_train_cli_end_to_end(tmp_path, rng, monkeypatch):
     text = "".join(open(f).read() for f in log_files)
     assert "prior mahalanobis" in text
     assert "zero-shot MPJPE" in text
+
+
+def test_trainer_dataset_eval(rng):
+    """trainer.dataset_eval — the reference's action-wise training-eval
+    helper (train_pose_mini.py:96-146): exact preds give ~0 error, the
+    concat branch stitches two gt_datasets, and sample_interval strides
+    preds and GT together."""
+    from zedo_tpu.train import trainer
+
+    def items(n, action_base):
+        out = []
+        for i in range(n):
+            pose = rng.randn(17, 3) * 250
+            out.append({"joint_3d_camera": pose,
+                        "action": action_base + (i % 2)})
+        return out
+
+    a_items = items(6, 2)
+    gt = np.array([it["joint_3d_camera"] for it in a_items])
+    gt_m = ((gt - gt[:, 0:1]) / 1000.0).astype(np.float32)
+
+    ds = types.SimpleNamespace(gt_dataset=a_items)
+    err = trainer.dataset_eval(gt_m, ds)
+    assert err < 1e-6
+
+    noisy = gt_m + rng.randn(*gt_m.shape).astype(np.float32) * 0.01
+    err_noisy = trainer.dataset_eval(noisy, ds)
+    assert 0 < err_noisy < 0.05
+
+    # concat branch (mini+syrip training, train_pose_mini.py:171-233)
+    b_items = items(4, 4)
+    gt_b = np.array([it["joint_3d_camera"] for it in b_items])
+    gt_all = np.concatenate(
+        [gt_m, ((gt_b - gt_b[:, 0:1]) / 1000.0).astype(np.float32)])
+    concat = types.SimpleNamespace(datasets=[
+        types.SimpleNamespace(gt_dataset=a_items),
+        types.SimpleNamespace(gt_dataset=b_items),
+    ])
+    assert trainer.dataset_eval(gt_all, concat, concate=True) < 1e-6
+
+    # stride: preds and GT stay paired (both strided inside)
+    assert trainer.dataset_eval(gt_m, ds, sample_interval=2) < 1e-6
