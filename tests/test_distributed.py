@@ -11,7 +11,19 @@ import os
 import subprocess
 import sys
 
+def _free_port() -> int:
+    """Ephemeral port for the coordinator (hard-coding flakes when two test
+    sessions share a machine)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 _CHILD = r"""
+import sys
+
 import jax
 jax.config.update("jax_platforms", "cpu")
 
@@ -21,7 +33,7 @@ from zedo_tpu.parallel import mesh as mesh_lib
 # one client — the exact call path a multi-host launch uses with
 # process_id>0 pointing at the host-0 coordinator (DESIGN.md "Multi-host")
 mesh_lib.init_distributed(
-    coordinator_address="localhost:12765",
+    coordinator_address="localhost:" + sys.argv[1],
     num_processes=1,
     process_id=0,
 )
@@ -109,12 +121,13 @@ def test_two_process_data_parallel_train_step(tmp_path):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=4").strip()
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     env.get("PYTHONPATH", "")) if p
     )
-    port = "12898"
+    port = str(_free_port())
     procs = [
         sp.Popen([sys.executable, "-c", _CHILD_TRAIN, str(pid), port],
                  env=env, stdout=sp.PIPE, stderr=sp.PIPE, text=True,
@@ -144,7 +157,7 @@ def test_init_distributed_single_process():
                     env.get("PYTHONPATH", "")) if p
     )
     proc = subprocess.run(
-        [sys.executable, "-c", _CHILD], env=env,
+        [sys.executable, "-c", _CHILD, str(_free_port())], env=env,
         capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, (proc.stdout, proc.stderr)

@@ -25,6 +25,10 @@ def main():
     scratch = tempfile.mkdtemp(prefix="zedo_warm_cache_")
     env = dict(os.environ)
     env["ZEDO_COMPILATION_CACHE"] = scratch
+    # regeneration must start from an EMPTY cache: without this, bench would
+    # seed the scratch dir from the existing artifacts and stale entries
+    # would survive the purge below
+    env["ZEDO_CACHE_SEED"] = "off"
     print(f"running bench against scratch cache {scratch} ...")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

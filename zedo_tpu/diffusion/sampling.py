@@ -280,13 +280,20 @@ class PCSampler:
             x, x_mean = predictor_fn(rsde, p_rng, x, vec_t, condition, mask)
             x, x_mean = impute(x, x_mean, vec_t, ip_rng)
             if guidance_fn is not None:
+                # only the carried x drives the trajectory; the final
+                # x_mean is guided once after the scan (the per-step
+                # x_mean values are dead work otherwise)
                 g_cond = (guidance_condition if guidance_condition is not None
                           else condition)
                 x = x - guidance_fn(x, vec_t, g_cond)
-                x_mean = x_mean - guidance_fn(x_mean, vec_t, g_cond)
             return (x, x_mean), (x if return_trajectory else None)
 
         (x, x_mean), trajs = jax.lax.scan(body, (x, x), (timesteps, step_idx))
+        if guidance_fn is not None:
+            g_cond = (guidance_condition if guidance_condition is not None
+                      else condition)
+            last_t = jnp.full((shape[0],), timesteps[-1], x.dtype)
+            x_mean = x_mean - guidance_fn(x_mean, last_t, g_cond)
         x_final = x_mean if self.denoise else x
         if return_trajectory:
             return trajs, x_final

@@ -116,6 +116,10 @@ def main(args):
 
     method = args.sampler or config.sampling.method.lower()
     if method == "ode":
+        if getattr(args, "guide", None):
+            raise SystemExit("--guide requires the pc sampler "
+                             "(guidance steps between predictor updates); "
+                             "drop --sampler ode or the config's method=ode")
         sampler = ODESampler(sde=sde, shape=shape,
                              denoise=config.sampling.noise_removal, eps=1e-3)
         samples, nfe = sampler.sample(score_fn, rng)

@@ -83,8 +83,10 @@ def build_eval_dataset(config, args):
     kwargs = dict(gt2d=True, read_confidence=False, sample_interval=1)
     try:
         if name == "h36m":
+            # stride 64: the trend metrics cap at 1024 rows, so don't pay
+            # the full ~550k-frame test-split load at every training start
             return H36MDataset3D(Path("data", "h36m"), "test", gt2d=True,
-                                 sample_interval=1)
+                                 sample_interval=64)
         if name == "mini":
             return mini_rgbd("validate", num_joint=17, **kwargs)
         if name == "syrip":
@@ -93,7 +95,9 @@ def build_eval_dataset(config, args):
             # mini's validate split (syrip's "validate" is its test images;
             # one consistent population suffices for the trend metrics)
             return mini_rgbd("validate", num_joint=nj, **kwargs)
-    except Exception as e:  # missing files: train without validation signals
+    except (FileNotFoundError, NotADirectoryError) as e:
+        # ONLY missing files downgrade to training-without-validation;
+        # real reader bugs must propagate, not be swallowed
         print(f"note: no held-out split for validation metrics ({e})")
     return None
 

@@ -23,6 +23,10 @@ _ARTIFACT_CACHE = os.path.join(
 
 def _seed_cache_from_artifacts(target: str) -> None:
     try:
+        # ZEDO_CACHE_SEED=off: tools/warm_cache.py regenerates the artifact
+        # set from a scratch dir and must not re-import stale entries
+        if os.environ.get("ZEDO_CACHE_SEED", "").lower() in ("0", "off"):
+            return
         if not os.path.isdir(_ARTIFACT_CACHE):
             return
         import shutil

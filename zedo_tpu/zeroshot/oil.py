@@ -129,7 +129,7 @@ class OILResult(NamedTuple):
     grad_norms: jax.Array  # [steps] mean ray-gradient norm per step (diagnostic)
     # [steps] mean pixel reprojection error per step when
     # OILConfig.track_reproj, else a zero scalar per step (free under XLA DCE)
-    reproj_px: jax.Array = None
+    reproj_px: Optional[jax.Array] = None
 
 
 def _fast_supported(sde: SDE, sampler: PCSampler) -> bool:

@@ -126,6 +126,7 @@ def solve(
     return SolveResult(
         poses=jnp.swapaxes(result.pose, 0, 1),
         translations=jnp.swapaxes(result.translation, 0, 1),
+        reproj_px=result.reproj_px if cfg.oil.track_reproj else None,
     )
 
 
@@ -171,6 +172,14 @@ def solve_sharded(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    if cfg.oil.track_reproj:
+        # the trace is a cross-shard mean ([S, steps], no batch axis), which
+        # shard_map cannot express as an out_spec without a collective; the
+        # diagnostic is a single-program feature (infant CLI / solve)
+        raise NotImplementedError(
+            "track_reproj is not supported through solve_sharded; "
+            "use pipeline.solve / solve_infant"
+        )
     if rng is None:
         rng = jax.random.PRNGKey(0)
     repl = NamedSharding(mesh, P())
