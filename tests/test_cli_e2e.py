@@ -423,6 +423,42 @@ def test_sample_cli_end_to_end(workdir, rng, monkeypatch):
     den = np.load(den_path)
     assert den.shape == (4, 17, 3) and np.isfinite(den).all()
 
+    # comp3d: imputed joints must carry the conditioning values at the end
+    # (mask=1 joints are re-imputed from the condition each step,
+    # lib/sampling.py:442-452 semantics)
+    comp_in = rng.randn(4, 17, 3).astype(np.float32) * 0.2
+    comp_in_path = str(workdir / "comp_in.npy")
+    np.save(comp_in_path, comp_in)
+    comp_path = str(workdir / "comp.npy")
+    args = _types.SimpleNamespace(
+        ckpt_dir=str(workdir / "checkpoint"), ckpt_name="checkpoint_1500.pth",
+        task="comp3d", num=0, input=comp_in_path, jlist="14,15,16",
+        randj=None, sampler="pc", warm_start_steps=0, ema=False, seed=0,
+        save=comp_path, override=[],
+    )
+    sample_cli.main(args)
+    comp = np.load(comp_path)
+    assert comp.shape == (4, 17, 3) and np.isfinite(comp).all()
+    known = [j for j in range(17) if j not in (14, 15, 16)]
+    np.testing.assert_allclose(comp[:, known], comp_in[:, known],
+                               atol=1e-4, rtol=1e-4)
+    assert not np.allclose(comp[:, [14, 15, 16]], comp_in[:, [14, 15, 16]])
+
+    # est: depth (z) is sampled while x-y stay pinned to the 2D observation
+    est_path = str(workdir / "est.npy")
+    args = _types.SimpleNamespace(
+        ckpt_dir=str(workdir / "checkpoint"), ckpt_name="checkpoint_1500.pth",
+        task="est", num=0, input=comp_in_path, jlist=None, randj=None,
+        sampler="pc", warm_start_steps=0, ema=False, seed=0,
+        save=est_path, override=[],
+    )
+    sample_cli.main(args)
+    est = np.load(est_path)
+    assert est.shape == (4, 17, 3) and np.isfinite(est).all()
+    np.testing.assert_allclose(est[..., :2], comp_in[..., :2],
+                               atol=1e-4, rtol=1e-4)
+    assert not np.allclose(est[..., 2], comp_in[..., 2])
+
 
 def test_sample_cli_guided(workdir, rng, monkeypatch):
     """--guide sym/match steer generation in the expected direction
@@ -614,3 +650,55 @@ def test_trainer_dataset_eval(rng):
 
     # stride: preds and GT stay paired (both strided inside)
     assert trainer.dataset_eval(gt_m, ds, sample_interval=2) < 1e-6
+
+
+def test_train_cli_h36m_adult(tmp_path, rng, monkeypatch):
+    """The adult-prior training branch (build_train_dataset('h36m') +
+    strided held-out eval split): the reference ships adult checkpoints but
+    no adult training path; the same loop trains it here."""
+    import types as _types
+
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    import zedo_tpu.run.train_pose_mini as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    data_dir = tmp_path / "data" / "h36m"
+    data_dir.mkdir(parents=True)
+    k_vals = dict(fx=1000.0, fy=1000.0, cx=500.0, cy=500.0)
+
+    def items(n):
+        out = []
+        for i in range(n):
+            pose = rng.randn(17, 3) * 250
+            cam = pose - pose[0:1] + np.array([200.0, 0.0, 4200.0])
+            img = np.zeros((17, 3))
+            img[:, 0] = cam[:, 0] / cam[:, 2] * k_vals["fx"] + k_vals["cx"]
+            img[:, 1] = cam[:, 1] / cam[:, 2] * k_vals["fy"] + k_vals["cy"]
+            out.append({"joint_3d_camera": cam, "joint_3d_image": img,
+                        "camera_param": {k: np.array(v) for k, v in k_vals.items()},
+                        "image_path": f"{i}.jpg", "action": 2 + (i % 3)})
+        return out
+
+    for subset, n in [("train", 12), ("test", 6)]:
+        with open(data_dir / f"h36m_{subset}.pkl", "wb") as f:
+            pickle.dump(items(n), f)
+
+    config = mini_cfg.get_config()
+    config.data.dataset = "h36m"
+    config.DATASET.NUM_JOINT = 17
+    config.training.batch_size = 12
+    config.eval.batch_size = 4
+    config.model.num_scales = 20
+    monkeypatch.setattr(train_cli, "FLAGS", _types.SimpleNamespace(config=config))
+    args = _types.SimpleNamespace(
+        restore_dir=None, sample=None, flip=False, rotflip=False,
+        fine_tune=False, fine_tune_ckpt=None, name="adult", log_name=None,
+        aug=False, scaled=False, epochs=1, override=[],
+    )
+    train_cli.main(args)
+    import glob
+
+    runs = glob.glob("output/*/*")
+    assert runs
+    text = "".join(open(f).read() for f in glob.glob(os.path.join(runs[0], "*.log")))
+    assert "prior mahalanobis" in text  # held-out h36m test split wired

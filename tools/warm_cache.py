@@ -7,7 +7,10 @@ fresh hosts (utils/config.py). Re-run after ANY change that alters the traced
 solve program (oil/pipeline/kernel/model code, bench shapes) — stale entries
 are harmless (key mismatch -> normal compile) but useless.
 
-Usage:  python tools/warm_cache.py
+Usage:  python tools/warm_cache.py [--full]
+  --full also captures the documented secondary shapes (Ski --n 1716,
+  --reuse 2) so their first-touch skips the relay compile too; default
+  captures only the flagship program (what the driver's bench runs).
 """
 from __future__ import annotations
 
@@ -29,13 +32,19 @@ def main():
     # seed the scratch dir from the existing artifacts and stale entries
     # would survive the purge below
     env["ZEDO_CACHE_SEED"] = "off"
-    print(f"running bench against scratch cache {scratch} ...")
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO,
-    )
-    if proc.returncode != 0:
-        raise SystemExit(f"bench failed rc={proc.returncode}; cache not updated")
+    runs = [[]]
+    if "--full" in sys.argv:
+        runs += [["--n", "1716"], ["--reuse", "2"]]
+    for extra in runs:
+        print(f"running bench {' '.join(extra) or '(flagship)'} "
+              f"against scratch cache {scratch} ...")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), *extra],
+            env=env, cwd=REPO,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(
+                f"bench {extra} failed rc={proc.returncode}; cache not updated")
 
     os.makedirs(ARTIFACTS, exist_ok=True)
     for name in os.listdir(ARTIFACTS):

@@ -66,6 +66,9 @@ def parse_args(argv):
                              "(reference asserts, opt_main.py:162)")
     parser.add_argument("--override", action="append", default=[],
                         help="config override, e.g. --override ZeDO.OIL_iterations=500")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace of the solve "
+                             "into DIR (view with TensorBoard/xprof)")
     return parser.parse_args(argv[1:])
 
 
@@ -166,18 +169,28 @@ def run_pipeline(config, args, dataset, logger_print=print):
         )
     clusters = jnp.asarray(sample_poses[: args.hypo])
 
+    import contextlib
+
+    from zedo_tpu.utils import profiling
+
+    profile_dir = getattr(args, "profile", None)
+    profile_cm = (profiling.trace(profile_dir) if profile_dir
+                  else contextlib.nullcontext())
     t0 = time.time()
-    result = pipeline.solve_sharded(
-        mesh, params, model_cfg, sde, sampler, zcfg,
-        clusters,
-        jnp.asarray(padded["cond2d"]),
-        jnp.asarray(padded["conf"]) if padded["conf"] is not None else None,
-        jnp.asarray(padded["k"]),
-        rng=jax.random.PRNGKey(args.seed),
-        precision=precision,
-    )
-    poses = np.asarray(result.poses)
+    with profile_cm:
+        result = pipeline.solve_sharded(
+            mesh, params, model_cfg, sde, sampler, zcfg,
+            clusters,
+            jnp.asarray(padded["cond2d"]),
+            jnp.asarray(padded["conf"]) if padded["conf"] is not None else None,
+            jnp.asarray(padded["k"]),
+            rng=jax.random.PRNGKey(args.seed),
+            precision=precision,
+        )
+        poses = np.asarray(result.poses)
     elapsed = time.time() - t0
+    if profile_dir:
+        logger_print(f"device trace written to {profile_dir}")
     poses = shard_lib.unpad(poses, mask)
     logger_print(
         f"solved {n} poses x {args.hypo} hypotheses x "

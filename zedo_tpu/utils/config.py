@@ -62,6 +62,17 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         # CPU but minutes through the remote TPU relay
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        try:
+            # CRITICAL for cross-machine cache portability: with the default
+            # "all", jax embeds xla_gpu_per_fusion_autotune_cache_dir=<path>
+            # INTO the compile options, which are hashed into the cache key —
+            # so entries written under one cache dir can never hit from
+            # another (measured: single differing byte in the serialized
+            # options = the dir path). It is a GPU-only autotune cache;
+            # nothing is lost on TPU/CPU.
+            jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+        except Exception:
+            pass  # older jax without the knob doesn't embed the path
         return path
     except Exception:
         return None
