@@ -702,3 +702,54 @@ def test_train_cli_h36m_adult(tmp_path, rng, monkeypatch):
     assert runs
     text = "".join(open(f).read() for f in glob.glob(os.path.join(runs[0], "*.log")))
     assert "prior mahalanobis" in text  # held-out h36m test split wired
+
+
+def test_mixed_precision_train_step(rng):
+    """compute_dtype='bf16': master weights/Adam state stay f32, the loss
+    tracks the f32 step closely at init, and training still descends."""
+    import jax
+    import jax.numpy as jnp
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.diffusion import losses as losses_lib
+    from zedo_tpu.diffusion.sde import SubVPSDE
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.train import trainer
+
+    config = mini_cfg.get_config()
+    config.optim.warmup = 0
+    config.optim.lr = 1e-2
+    model_cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional",
+    )
+    params = score_mlp.init_params(jax.random.PRNGKey(0), model_cfg)
+    optimizer = losses_lib.get_optimizer(config)
+    sde = SubVPSDE(n=1000, t_max=1.0)
+    batch = jnp.asarray(rng.randn(32, 17, 3).astype(np.float32) * 0.1)
+
+    fp32_step = trainer.make_train_step(sde, score_mlp.apply, model_cfg,
+                                        optimizer)
+    bf16_step = trainer.make_train_step(sde, score_mlp.apply, model_cfg,
+                                        optimizer, compute_dtype="bf16")
+
+    state = losses_lib.init_train_state(params, optimizer, 0.9999)
+    key = jax.random.PRNGKey(3)
+    s32, l32 = fp32_step(state, key, batch, None, None)
+    s16, l16 = bf16_step(state, key, batch, None, None)
+    # same draws, same data: bf16 forward matches f32 to bf16 resolution
+    assert abs(float(l32) - float(l16)) < 0.05 * abs(float(l32))
+    # master weights and Adam moments stay f32
+    assert s16.params["pre_dense"]["weight"].dtype == jnp.float32
+    leaf_dtypes = {a.dtype for a in jax.tree.leaves(s16.opt_state)
+                   if hasattr(a, "dtype") and a.ndim > 0}
+    assert jnp.bfloat16 not in leaf_dtypes
+
+    # loss descends over a few mixed-precision steps
+    losses = []
+    st = state
+    for i in range(8):
+        key, sk = jax.random.split(key)
+        st, loss = bf16_step(st, sk, batch, None, None)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])

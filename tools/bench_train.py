@@ -2,7 +2,7 @@
 the full-size ScoreMLP at the reference's default batch sizes, on real
 hardware. Run serialized on the single-tenant TPU.
 
-    python tools/bench_train.py [--steps 50]
+    python tools/bench_train.py [--steps 50] [--bf16]
 """
 from __future__ import annotations
 
@@ -27,6 +27,7 @@ def main():
     from zedo_tpu.models import score_mlp
 
     steps = cli_int_arg(sys.argv, "--steps", 50)
+    bf16 = "--bf16" in sys.argv
     cfg = score_mlp.ScoreMLPConfig()  # full-size 1024/512
     params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
 
@@ -43,6 +44,9 @@ def main():
         return score_mlp.apply(p, cfg, x, labels, cond, msk, train=train,
                                rng=rng)
 
+    if bf16:
+        # mixed precision: bf16 forward/backward matmuls, f32 master state
+        model_apply = losses_lib.mixed_precision_apply(model_apply)
     step_fn = jax.jit(losses_lib.get_step_fn(
         sde, model_apply, optimizer, train=True, reduce_mean=True))
 

@@ -146,6 +146,25 @@ def get_ddpm_loss_fn(vpsde: VPSDE, model_apply, train: bool, reduce_mean: bool =
     return loss_fn
 
 
+def mixed_precision_apply(model_apply, compute_dtype=jnp.bfloat16):
+    """Mixed-precision wrapper for a model_apply(p, x, labels, cond, msk,
+    train, rng) fn: casts f32 params and inputs to `compute_dtype` for the
+    forward (bf16 matmuls run at full MXU rate — ~8x fp32 on v5e), returns
+    f32 outputs, so the loss, gradients, Adam moments, and master weights
+    all stay f32 (standard mixed-precision training; the cast is
+    differentiable, so grads accumulate back onto the f32 params)."""
+
+    def apply(p, x, labels, cond, msk, train=False, rng=None):
+        p_c = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if a.dtype == jnp.float32 else a, p)
+        out = model_apply(p_c, x.astype(compute_dtype), labels, cond, msk,
+                          train=train, rng=rng)
+        return out.astype(jnp.float32)
+
+    return apply
+
+
 class TrainState(NamedTuple):
     """Replaces the reference's mutable `state` dict (losses.py:180-211)."""
 

@@ -35,6 +35,10 @@ def parse_args(argv):
     parser.add_argument("--aug", default=False, action="store_true")
     parser.add_argument("--scaled", default=False, action="store_true")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--compute_dtype", type=str, default="fp32",
+                        choices=["fp32", "bf16"],
+                        help="bf16 = mixed-precision train step (bf16 MXU "
+                             "matmuls, f32 loss/grads/Adam/master weights)")
     parser.add_argument("--override", action="append", default=[],
                         help="config override, e.g. --override training.batch_size=256")
     return parser.parse_args(argv[1:])
@@ -146,6 +150,7 @@ def main(args):
         preemption_ckpt_freq=int(
             config.training.get("snapshot_freq_for_preemption", 0) or 0
         ),
+        compute_dtype=getattr(args, "compute_dtype", "fp32"),
     )
     try:
         trainer.train_loop(

@@ -96,6 +96,11 @@ class TrainerConfig:
     micro_solve: bool = True
     micro_solve_poses: int = 16
     micro_solve_iters: int = 100
+    # 'bf16' runs the TRAIN forward/backward matmuls in bf16 at full MXU
+    # rate while loss/grads/Adam moments/master weights stay f32 (standard
+    # mixed precision — losses.mixed_precision_apply); eval sampling and
+    # the validation metrics stay f32 either way
+    compute_dtype: str = "fp32"
 
 
 def _build_micro_scene(gt: np.ndarray, data_scale: float, n_scene: int, seed: int):
@@ -119,15 +124,23 @@ def _build_micro_scene(gt: np.ndarray, data_scale: float, n_scene: int, seed: in
     return dict(gt=pose.astype(np.float32), px=px, k=k, cluster=cluster)
 
 
-def make_train_step(sde, model_apply_raw, model_cfg, optimizer,
-                    reduce_mean=False, continuous=True, likelihood_weighting=False):
-    """jitted TrainState step. model_apply_raw = score_mlp.apply-style fn."""
-
+def _bound_apply(model_apply_raw, model_cfg, compute_dtype: str = "fp32"):
     def model_apply(p, x, labels, cond, msk, train=False, rng=None):
         return model_apply_raw(p, model_cfg, x, labels, cond, msk, train=train, rng=rng)
 
+    if compute_dtype == "bf16":
+        return losses_lib.mixed_precision_apply(model_apply, jnp.bfloat16)
+    assert compute_dtype == "fp32", compute_dtype
+    return model_apply
+
+
+def make_train_step(sde, model_apply_raw, model_cfg, optimizer,
+                    reduce_mean=False, continuous=True, likelihood_weighting=False,
+                    compute_dtype: str = "fp32"):
+    """jitted TrainState step. model_apply_raw = score_mlp.apply-style fn."""
     step_fn = losses_lib.get_step_fn(
-        sde, model_apply, optimizer, train=True, reduce_mean=reduce_mean,
+        sde, _bound_apply(model_apply_raw, model_cfg, compute_dtype),
+        optimizer, train=True, reduce_mean=reduce_mean,
         continuous=continuous, likelihood_weighting=likelihood_weighting,
     )
     return jax.jit(step_fn)
@@ -135,17 +148,15 @@ def make_train_step(sde, model_apply_raw, model_cfg, optimizer,
 
 def make_sharded_train_step(mesh, sde, model_apply_raw, model_cfg, optimizer,
                             data_axis: str = "data", model_axis: Optional[str] = None,
-                            reduce_mean=False):
+                            reduce_mean=False, compute_dtype: str = "fp32"):
     """The multi-chip train step: batch sharded over `data_axis`, params
     replicated (or TP-sharded over `model_axis` via parallel.mesh.tp_shardings
     when given). XLA inserts the gradient all-reduce over ICI."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def model_apply(p, x, labels, cond, msk, train=False, rng=None):
-        return model_apply_raw(p, model_cfg, x, labels, cond, msk, train=train, rng=rng)
-
     step_fn = losses_lib.get_step_fn(
-        sde, model_apply, optimizer, train=True, reduce_mean=reduce_mean,
+        sde, _bound_apply(model_apply_raw, model_cfg, compute_dtype),
+        optimizer, train=True, reduce_mean=reduce_mean,
         continuous=True,
     )
     batch_sharding = NamedSharding(mesh, P(data_axis))
@@ -239,12 +250,14 @@ def train_loop(
         train_step, batch_sharding = make_sharded_train_step(
             mesh, sde, model_apply_raw, model_cfg, optimizer,
             reduce_mean=config.training.reduce_mean,
+            compute_dtype=trainer_cfg.compute_dtype,
         )
     else:
         train_step = make_train_step(
             sde, model_apply_raw, model_cfg, optimizer,
             reduce_mean=config.training.reduce_mean,
             likelihood_weighting=config.training.likelihood_weighting,
+            compute_dtype=trainer_cfg.compute_dtype,
         )
         batch_sharding = None
 
