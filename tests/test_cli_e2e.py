@@ -753,3 +753,58 @@ def test_mixed_precision_train_step(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_rbg_prng_train_step(rng):
+    """The rbg-PRNG train path (--prng rbg, +21% measured on v5e): the step
+    runs under jax_default_prng_impl='rbg' and produces finite, descending
+    losses. Runs in a subprocess because the PRNG impl is process-global."""
+    import subprocess as sp
+    import sys as _sys
+
+    child = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_prng_impl", "rbg")
+import numpy as np
+import jax.numpy as jnp
+import ml_collections
+from zedo_tpu.diffusion import losses as losses_lib
+from zedo_tpu.diffusion.sde import SubVPSDE
+from zedo_tpu.models import score_mlp
+from zedo_tpu.train import trainer
+
+cfg = score_mlp.ScoreMLPConfig(n_joints=17, joint_dim=3, hidden_dim=64,
+                               embed_dim=32, n_blocks=1,
+                               embedding_type="positional")
+params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
+conf = ml_collections.ConfigDict()
+conf.optim = ml_collections.ConfigDict(dict(
+    optimizer="Adam", lr=1e-2, beta1=0.9, eps=1e-8, warmup=0,
+    grad_clip=1.0, weight_decay=0))
+opt = losses_lib.get_optimizer(conf)
+state = losses_lib.init_train_state(params, opt, 0.9999)
+sde = SubVPSDE(n=1000, t_max=1.0)
+step = trainer.make_train_step(sde, score_mlp.apply, cfg, opt)
+rng_np = np.random.RandomState(0)
+batch = jnp.asarray(rng_np.randn(32, 17, 3).astype(np.float32) * 0.1)
+key = jax.random.PRNGKey(2)
+assert key.dtype == jnp.uint32 and key.shape == (4,), (key.dtype, key.shape)
+losses = []
+for i in range(8):
+    key, sk = jax.random.split(key)
+    state, loss = step(state, sk, batch, None, None)
+    losses.append(float(loss))
+assert np.isfinite(losses).all()
+assert np.mean(losses[-3:]) < np.mean(losses[:3])
+print("rbg OK")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    env.get("PYTHONPATH", "")) if p)
+    proc = sp.run([_sys.executable, "-c", child], env=env,
+                  capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "rbg OK" in proc.stdout

@@ -39,6 +39,13 @@ def parse_args(argv):
                         choices=["fp32", "bf16"],
                         help="bf16 = mixed-precision train step (bf16 MXU "
                              "matmuls, f32 loss/grads/Adam/master weights)")
+    parser.add_argument("--prng", type=str, default="threefry",
+                        choices=["threefry", "rbg"],
+                        help="rbg = hardware counter-based PRNG for the "
+                             "dropout/noise draws: +21%% training throughput "
+                             "on v5e (threefry bit-generation is 24%% of the "
+                             "step at batch 50k — DESIGN.md); draws differ "
+                             "from threefry but are statistically equivalent")
     parser.add_argument("--override", action="append", default=[],
                         help="config override, e.g. --override training.batch_size=256")
     return parser.parse_args(argv[1:])
@@ -111,6 +118,13 @@ def main(args):
     from zedo_tpu.utils.config import apply_overrides, enable_compilation_cache
 
     enable_compilation_cache()
+    if getattr(args, "prng", "threefry") == "rbg":
+        # must precede any PRNGKey creation; affects every key this process
+        # derives (dropout, noise, shuffles stay numpy). A run resumes
+        # reproducibly only under the same --prng choice.
+        import jax
+
+        jax.config.update("jax_default_prng_impl", "rbg")
     apply_overrides(config, getattr(args, "override", []))
     from zedo_tpu.models.registry import make_mlp_config
     from zedo_tpu.train import trainer
