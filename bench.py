@@ -47,6 +47,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # relay health probe: backend init + one tiny host->device->host
+    # round-trip. On the axon relay this latency is the environment-dependent
+    # part of cold start (measured 0.5 s to minutes across sessions) — with
+    # cache_entries_written == 0 below, any first-run excess is THIS, not
+    # compilation.
+    t0 = time.time()
+    probe = float(np.asarray(jax.device_get(jax.device_put(np.ones(4)))).sum())
+    assert probe == 4.0
+    device_probe_s = time.time() - t0
+
     from zedo_tpu.diffusion.sampling import PCSampler
     from zedo_tpu.diffusion.sde import SubVPSDE
     from zedo_tpu.models import score_mlp
@@ -107,9 +117,16 @@ def main():
         checksum = float(jnp.sum(out.poses))
         return out, checksum
 
+    import os
+
+    pre_entries = (set(os.listdir(cache_dir)) if cache_dir else set())
     t0 = time.time()
     _, checksum0 = run(0)  # compile + first run
     compile_and_first = time.time() - t0
+    # 0 new entries = the precompiled artifact cache fully served the run
+    # (artifacts/xla_cache, DESIGN.md "Cold start")
+    new_entries = (len(set(os.listdir(cache_dir)) - pre_entries)
+                   if cache_dir else -1)
 
     t0 = time.time()
     out, checksum = run(1)
@@ -133,6 +150,8 @@ def main():
             "devices": len(jax.devices()),
             "device_kind": jax.devices()[0].device_kind,
             "compilation_cache": cache_dir or "disabled",
+            "cache_entries_written": new_entries,
+            "device_probe_s": round(device_probe_s, 3),
         },
     }
     print(json.dumps(result))
