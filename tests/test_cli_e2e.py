@@ -808,3 +808,96 @@ print("rbg OK")
                   capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "rbg OK" in proc.stdout
+
+
+def test_opt_main_pw3d_pipeline(workdir, rng):
+    """3DPW branch end-to-end through run_pipeline: npz reader (2D
+    synthesized from GT 3D through K regardless of --gt), J=17 and J=14
+    eval, protocol 1+2."""
+    import configs.optim.concat_pose_optimization_pw3d as pw3d_cfg
+
+    n = 10
+    kp3d = rng.randn(n, 17, 3).astype(np.float32) * 0.25
+    root = np.zeros((n, 3), np.float32)
+    root[:, 2] = 5.0
+    data_dir = workdir / "data" / "3dpw"
+    data_dir.mkdir(parents=True)
+    np.savez(
+        data_dir / "pw3d_test.npz",
+        keypoints3d17_relative=kp3d,
+        root_cam=root,
+        cam_param=np.array(
+            {"f": np.full((n, 2), 1000.0), "c": np.full((n, 2), 500.0)},
+            dtype=object),
+        image_width=np.full(n, 1000),
+        image_height=np.full(n, 1000),
+        image_path=np.array([f"im{i}" for i in range(n)]),
+    )
+
+    config = pw3d_cfg.get_config()
+    config.ZeDO.sample = 1
+    config.ZeDO.IPO_iterations = 20
+    config.ZeDO.OIL_iterations = 10
+    config.ZeDO.batch = n
+    args = _args(workdir, gt=True, hypo=2, strict_batch=True)
+
+    dataset = opt_main.build_dataset(config, args)
+    assert len(dataset.db_2d) == n
+    results = opt_main.run_pipeline(config, args, dataset)
+    assert results.shape == (n, 2, 17, 3)
+    assert np.isfinite(results).all()
+    e17 = dataset.eval_multi(results, protocol2=False)
+    e14 = dataset.eval_multi(results, protocol2=False, joint=14)
+    epa = dataset.eval_multi(results, protocol2=True)
+    assert np.isfinite([e17, e14, epa]).all()
+    assert epa <= e17
+
+
+def test_opt_main_ski_pipeline(workdir, rng):
+    """SkiPose branch end-to-end through run_pipeline: h5 reader with
+    x256-normalized intrinsics/2D and the sitting-cluster init file."""
+    import h5py
+
+    import configs.optim.concat_pose_optimization_ski as ski_cfg
+
+    n, j = 8, 17
+    pose = rng.randn(n, j, 3).astype(np.float32) * 0.25
+    pose -= pose[:, 0:1]
+    t = np.zeros((n, 1, 3), np.float32)
+    t[..., 2] = 4.0
+    cam_n = np.zeros((n, 3, 3), np.float32)
+    cam_n[:, 0, 0] = cam_n[:, 1, 1] = 4.0  # normalized focal
+    cam_n[:, 0, 2] = cam_n[:, 1, 2] = 0.5
+    cam_n[:, 2, 2] = 1.0
+    cam3d = pose + t
+    px_n = np.stack(
+        [cam3d[..., 0] / cam3d[..., 2] * 4.0 + 0.5,
+         cam3d[..., 1] / cam3d[..., 2] * 4.0 + 0.5], axis=-1)
+    data_dir = workdir / "data" / "ski"
+    data_dir.mkdir(parents=True)
+    with h5py.File(data_dir / "ski_test.h5", "w") as f:
+        f["seq"] = np.arange(n)
+        f["cam"] = np.arange(n) % 3
+        f["frame"] = np.arange(n)
+        f["cam_intrinsic"] = cam_n
+        f["3D"] = pose.reshape(n, -1)
+        f["2D"] = px_n.reshape(n, -1).astype(np.float32)
+    base = np.load(workdir / "clusters" / "h36m_cluster2.npy")
+    np.save(workdir / "clusters" / "h36m_sitting_cluster1.npy", base[:1])
+
+    config = ski_cfg.get_config()
+    config.ZeDO.sample = 1
+    config.ZeDO.IPO_iterations = 20
+    config.ZeDO.OIL_iterations = 10
+    config.ZeDO.batch = n
+    args = _args(workdir, gt=True, hypo=1, strict_batch=True)
+
+    dataset = opt_main.build_dataset(config, args)
+    assert len(dataset.db_2d) == n
+    assert dataset.camera_param[0, 0, 0] == 4.0 * 256
+    results = opt_main.run_pipeline(config, args, dataset)
+    assert results.shape == (n, 1, 17, 3)
+    assert np.isfinite(results).all()
+    e = dataset.eval_multi(results, protocol2=False)
+    epa = dataset.eval_multi(results, protocol2=True)
+    assert np.isfinite([e, epa]).all()
