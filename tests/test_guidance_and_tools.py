@@ -200,3 +200,17 @@ def test_cache_seeding(tmp_path, monkeypatch):
     # missing artifact dir is a silent no-op
     monkeypatch.setattr(cfg_mod, "_ARTIFACT_CACHE", str(tmp_path / "nope"))
     cfg_mod._seed_cache_from_artifacts(str(target))
+
+
+def test_symmetry_guidance_rejects_non_h36m_skeleton(rng):
+    """12-joint (infant) inputs must error loudly — jit gather would clamp
+    the H36M limb indices and steer with garbage pairs."""
+    import pytest
+
+    from zedo_tpu.diffusion.guidance import get_sym_gradient_fn, symmetry_loss
+
+    x12 = jnp.asarray(rng.randn(2, 12, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="17-joint"):
+        symmetry_loss(x12)
+    with pytest.raises(ValueError, match="17-joint"):
+        get_sym_gradient_fn()(x12, None)

@@ -86,7 +86,6 @@ def main():
     )
     lowered = fn.lower(pp, cl, cond2d, cc, kk, rng)
     t_lower = time.time()
-    hlo_lines = lowered.as_text().count("\n")
     compiled = lowered.compile()
     t_compile = time.time()
     out = compiled(pp, cl, cond2d, cc, kk, rng)
@@ -96,6 +95,9 @@ def main():
     checksum2 = float(jnp.sum(out.poses))
     t_second = time.time()
     assert np.isfinite(checksum) and np.isfinite(checksum2)
+    # HLO text serialization is measurable for this program — keep it out of
+    # every timed window (it inflated backend_compile_s before)
+    hlo_lines = lowered.as_text().count("\n")
 
     print(json.dumps({
         "variant": "pallas_off" if use_pallas is False else "pallas_auto",

@@ -46,12 +46,18 @@ def main():
             raise SystemExit(
                 f"bench {extra} failed rc={proc.returncode}; cache not updated")
 
+    captured = sorted(os.listdir(scratch))
+    if not any(n.startswith("jit_shard_fn") for n in captured):
+        raise SystemExit(
+            "scratch cache has no jit_shard_fn entry (backend could not "
+            "serialize executables?); keeping the existing artifacts"
+        )
     os.makedirs(ARTIFACTS, exist_ok=True)
     for name in os.listdir(ARTIFACTS):
         os.remove(os.path.join(ARTIFACTS, name))
     n = 0
     total = 0
-    for name in sorted(os.listdir(scratch)):
+    for name in captured:
         src = os.path.join(scratch, name)
         shutil.copy2(src, os.path.join(ARTIFACTS, name))
         n += 1

@@ -38,6 +38,13 @@ def symmetry_loss(x: jax.Array, weight: float = 1.0) -> jax.Array:
     """Left/right limb-length asymmetry penalty (sampling.py:373-397).
     x: [B, j, 3]. The reference's `sym_grad_fn` returns this scalar (despite
     its name); both the scalar and its gradient are exposed here."""
+    if x.shape[-2] < 17:
+        # the limb tables are H36M-17; on 12-joint (infant) skeletons jit
+        # gather would silently CLAMP indices >= j and score garbage pairs
+        raise ValueError(
+            f"symmetry guidance requires the 17-joint H36M skeleton "
+            f"(got {x.shape[-2]} joints)"
+        )
     left = jnp.linalg.norm(x[:, LEFT_PARENT, :] - x[:, LEFT_CHILD, :], axis=-1)
     right = jnp.linalg.norm(x[:, RIGHT_PARENT, :] - x[:, RIGHT_CHILD, :], axis=-1)
     return jnp.mean((left - right) ** 2) * weight
