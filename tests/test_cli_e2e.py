@@ -554,13 +554,28 @@ def test_preemption_checkpoint_and_resume(tmp_path, rng):
                                           preemption_ckpt_freq=3),
     )
     assert os.path.exists(tmp_path / "p" / "checkpoint_preempt")
-    # resume from the preemption checkpoint
+    # resume from the preemption checkpoint: the payload records the CURRENT
+    # epoch + global step, and the loop skips exactly the already-trained
+    # batches of the interrupted epoch (keeping the RNG splits aligned), so
+    # the resumed run must be BIT-IDENTICAL to an uninterrupted one
     state2, _, _ = trainer.train_loop(
         config, FakeDS(), output_dir=str(tmp_path / "q"), model_cfg=model_cfg,
         trainer_cfg=trainer.TrainerConfig(n_epochs=3, eval_freq=100, seed=0),
         restore_dir=str(tmp_path / "p" / "checkpoint_preempt"),
     )
-    assert int(state2.step) > int(state.step) - 8  # continued, didn't restart
+    # 64/16 = 4 steps/epoch; preempt saved at global step 6 (epoch 1, i=1);
+    # resume finishes epoch 1 (+2) and epoch 2 (+4) -> 12 total
+    assert int(state2.step) == 3 * 4
+
+    state_full, _, _ = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "r"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=3, eval_freq=100, seed=0),
+    )
+    assert int(state_full.step) == int(state2.step)
+    np.testing.assert_array_equal(
+        np.asarray(state2.params["pre_dense"]["weight"]),
+        np.asarray(state_full.params["pre_dense"]["weight"]),
+    )
 
 
 def test_train_cli_end_to_end(tmp_path, rng, monkeypatch):

@@ -90,3 +90,37 @@ def test_cond_train_mode_runs(rng):
         mask_cfg=score_mlp_cond.CondMaskConfig(pose_mask_prob=0.1, joint_mask_prob=0.1),
     )
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_classifier_free_null_matches_dropout_null(rng):
+    """The guidance 'unconditional' branch must hit the SAME null state
+    train-time condition dropout produces (re-expressed cond zeroed) — raw
+    zero keypoints would re-express to cond = batch.xy (package review r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zedo_tpu.models import score_mlp_cond
+
+    cfg = score_mlp_cond.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional",
+    )
+    params = score_mlp_cond.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(4, 17, 3).astype(np.float32))
+    labels = jnp.full((4,), 12.0)
+    cond2d = jnp.asarray(rng.randn(4, 17, 2).astype(np.float32))
+
+    out_null = score_mlp_cond.apply(params, cfg, x, labels, cond2d,
+                                    force_null_condition=True)
+    # the null forward must be condition-INDEPENDENT
+    out_null2 = score_mlp_cond.apply(params, cfg, x, labels, cond2d * 5 + 1,
+                                     force_null_condition=True)
+    np.testing.assert_array_equal(np.asarray(out_null), np.asarray(out_null2))
+    # and differ from the conditioned forward
+    out_cond = score_mlp_cond.apply(params, cfg, x, labels, cond2d)
+    assert not np.allclose(np.asarray(out_null), np.asarray(out_cond))
+    # w=0 guidance reduces to the conditional forward
+    out_w0 = score_mlp_cond.classifier_free_apply(params, cfg, x, labels,
+                                                  cond2d, w=0.0)
+    np.testing.assert_allclose(np.asarray(out_w0), np.asarray(out_cond),
+                               rtol=1e-6)

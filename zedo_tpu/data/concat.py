@@ -12,10 +12,12 @@ class ConcatDataset:
     def __init__(self, datasets):
         self.datasets = list(datasets)
         self.db_3d = np.concatenate([np.asarray(d.db_3d) for d in self.datasets])
-        try:
-            self.db_2d = np.concatenate([np.asarray(d.db_2d) for d in self.datasets])
-        except ValueError:  # mismatched 2D channel counts across sets
-            self.db_2d = np.zeros_like(self.db_3d)
+        arrs_2d = [np.asarray(d.db_2d) for d in self.datasets]
+        # members may disagree on the trailing channel only (e.g. syrip's
+        # COCO keypoints carry a confidence channel); trim to the common
+        # x/y(/conf) prefix rather than silently zeroing everything
+        c = min(a.shape[-1] for a in arrs_2d)
+        self.db_2d = np.concatenate([a[..., :c] for a in arrs_2d])
         cams = [getattr(d, "camera_param", None) for d in self.datasets]
         if all(c is not None and len(c) for c in cams):
             self.camera_param = np.concatenate([np.asarray(c) for c in cams])

@@ -65,6 +65,7 @@ def multi_hypothesis_eval(
     joint_subset=None,
     subset_before_align: bool = True,
     with_pck_auc: bool = False,
+    with_hypo_std: bool = False,
 ) -> EvalReport:
     """Score [N, S, j, 3] hypotheses against [N, j, 3] GT.
 
@@ -111,12 +112,16 @@ def multi_hypothesis_eval(
         auc = compute_auc(np.asarray(gt), min_preds)
 
     # per-axis hypothesis diversity, root-relative, excluding root
-    # (mpii3dHP.py:487-490)
-    rel = preds - preds[:, :, 0:1, :]
-    rel = rel[:, :, 1:, :]
-    hypo_std = tuple(
-        float(jnp.mean(jnp.std(rel[..., ax], axis=1))) for ax in range(3)
-    )
+    # (mpii3dHP.py:487-490); only the 3DHP GT branch reads it — computed on
+    # demand so the other datasets' full-split evals don't materialize the
+    # [N, S, j-1, 3] temporaries for a discarded field
+    hypo_std = None
+    if with_hypo_std:
+        rel = preds - preds[:, :, 0:1, :]
+        rel = rel[:, :, 1:, :]
+        hypo_std = tuple(
+            float(jnp.mean(jnp.std(rel[..., ax], axis=1))) for ax in range(3)
+        )
 
     return EvalReport(
         error=error,

@@ -159,7 +159,11 @@ class MPII3DHP(PoseDataset):
             np.asarray(preds), evaluation.gt_from_items(gt_items),
             protocol2=protocol2,
             actions=evaluation.actions_from_items(gt_items),
-            action_order=[15, 17, 18, 19, 20, 21],
+            # ACTIONS_3DHP includes 10 (raw action 3 remapped by
+            # ACTION_CONVERTOR); the reference's temp_range omits it and
+            # would KeyError on such a sample (mpii3dHP.py:404-408) — the
+            # evidently intended behavior is action-wise over everything
+            action_order=ACTIONS_3DHP,
         )
         if print_verbose:
             evaluation.print_action_table("3DHP", protocol2, report.per_action, report.error)
@@ -183,6 +187,7 @@ class MPII3DHP(PoseDataset):
                 preds, evaluation.gt_from_items(gt_items), protocol2=protocol2,
                 actions=evaluation.actions_from_items(gt_items),
                 action_order=ACTIONS_3DHP, with_pck_auc=True,
+                with_hypo_std=True,
             )
             print("PCK :", report.pck)
             print("AUC :", report.auc)

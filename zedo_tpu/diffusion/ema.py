@@ -37,8 +37,11 @@ def update(state: EMAState, params) -> EMAState:
         state.decay,
     )
     one_minus = 1.0 - decay
+    # keep each shadow leaf's dtype (a strong-f32 one_minus would silently
+    # promote bf16 shadows to f32 on the first update)
     shadow = jax.tree.map(
-        lambda s, p: s - one_minus * (s - p), state.shadow_params, params
+        lambda s, p: (s - one_minus.astype(s.dtype) * (s - p)).astype(s.dtype),
+        state.shadow_params, params
     )
     return EMAState(decay=state.decay, num_updates=n, shadow_params=shadow)
 

@@ -22,7 +22,6 @@ completion / denoising / generation). Design changes:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
 from typing import Callable, Optional
 
@@ -233,8 +232,8 @@ class PCSampler:
         `condition` each step, legacy lib/sampling.py:442-452) or None.
         x_init: start state (defaults to a prior sample; legacy den task
         passes noisy input, lib/sampling.py:547-550).
-        warm_start_steps: force t=1.0 for the first k steps
-        (lib/sampling.py:564-567 used 50).
+        warm_start_steps: force t=sde.T for the first k steps
+        (lib/sampling.py:564-567 used 50 with literal t=1.0 == its T).
         guidance_fn: optional (x, t, cond) -> [*, j, d] gradient of a
         steering objective, descended after each predictor step (the
         reference defines match/symmetry factories but never wires them —
@@ -271,7 +270,12 @@ class PCSampler:
             c_rng, p_rng, ic_rng, ip_rng = jax.random.split(step_rng, 4)
             vec_t = jnp.full((shape[0],), t, x.dtype)
             if warm_start_steps > 0:
-                vec_t = jnp.where(i < warm_start_steps, jnp.ones_like(vec_t), vec_t)
+                # pin to sde.T, not the reference's literal 1.0 (equivalent
+                # only for T=1 models; ZeDO eval SDEs use T=0.1, where t=1.0
+                # would be out of the trained range and over-index the
+                # discretization tables)
+                vec_t = jnp.where(i < warm_start_steps,
+                                  jnp.full_like(vec_t, self.sde.T), vec_t)
             x, x_mean = corrector_fn(
                 self.sde, score_fn, c_rng, x, vec_t, condition, mask,
                 self.snr, self.n_steps,
@@ -315,6 +319,14 @@ def make_task_mask(
 
     1 = imputed-from-condition entries. est masks depth only; comp2d/comp3d
     mask listed or random limb joints; den/gen mask nothing.
+
+    Behavioral note vs the (dead) legacy reference: its est branch BUILDS
+    this mask but never applies it — the imputation conditional excludes
+    'est' and the x/y init is commented out (lib/sampling.py:441-452,504) —
+    so its est task degenerates to unconditional generation. Here the mask
+    is applied, pinning observed x/y each step: the evidently intended
+    lift-2D-to-3D behavior (same policy as the other resurrected dead
+    surfaces; asserted by test_cli_e2e's est e2e).
     """
     mask = np.ones(shape, dtype=np.float32)
     rng = np.random.RandomState(seed)

@@ -93,6 +93,7 @@ def apply(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     precision=None,
+    force_null_condition: bool = False,
 ) -> jax.Array:
     """Forward with condition injection.
 
@@ -100,6 +101,10 @@ def apply(
     the commented design (model.py:225-237): re-express as batch - condition
     with z masked out when the condition carries no depth; then embed.
     mask: eval-time condition mask [B, j, c] (model.py:235-237).
+    force_null_condition: zero the RE-EXPRESSED condition tensor — the same
+    null state train-time condition dropout produces (random_mask_condition
+    zeroes `cond`, not the raw keypoints). Passing raw zeros instead would
+    re-express to cond = batch.xy, a strong fake condition.
     """
     bs = batch.shape[0]
     g = cfg.group_norm_groups
@@ -114,6 +119,8 @@ def apply(
     z_mask = (jnp.sum(jnp.abs(condition[:, :, -1]), axis=-1, keepdims=True) > 0)
     cond = batch - condition
     cond = cond.at[:, :, -1].multiply(z_mask.astype(cond.dtype))
+    if force_null_condition:
+        cond = jnp.zeros_like(cond)
     if not train and mask is not None:
         cond = cond * mask
 
@@ -171,5 +178,9 @@ def classifier_free_apply(
     """Classifier-free guidance wrapper (model.py:48-65 ClassifierFreeSampler):
     out + w * (out - out_uncond)."""
     out = apply(params, cfg, batch, t_labels, condition, **kwargs)
-    out_uncond = apply(params, cfg, batch, t_labels, jnp.zeros_like(condition), **kwargs)
+    # null = the train-time dropout null (re-expressed cond zeroed), NOT raw
+    # zero keypoints, which would re-express to cond = batch.xy (a strong
+    # fake condition) and corrupt the guidance direction
+    out_uncond = apply(params, cfg, batch, t_labels, condition,
+                       force_null_condition=True, **kwargs)
     return out + w * (out - out_uncond)

@@ -171,7 +171,7 @@ def reprojection_residual(key2d: jax.Array, key3d: jax.Array, k: jax.Array) -> j
     """Max ray-to-joint distance, the reference's `error_compute`
     (simple_zeroshot_opt.py:38-44). Note it compares un-normalized K^-1 rays
     against the 3D joints directly; kept verbatim for parity."""
-    kinv_rays = backproject_rays(key2d, k) * 1.0  # z=1 rays
+    kinv_rays = backproject_rays(key2d, k)  # z=1 rays
     # the reference does NOT z-normalize here; K^-1 @ [u, v, 1] already has
     # z == 1 for standard intrinsics, so backproject_rays matches.
     b = kinv_rays - key3d

@@ -124,6 +124,9 @@ def main(args):
                              denoise=config.sampling.noise_removal, eps=1e-3)
         samples, nfe = sampler.sample(score_fn, rng)
         print(f"ODE sampler finished, nfe={int(nfe)}")
+        if int(nfe) >= 20000 * 7:  # ode.rk45 max_steps budget
+            print("WARNING: ODE step budget exhausted — integration may not "
+                  "have reached t_eps; samples may be unconverged")
     else:
         sampler = PCSampler(
             sde=sde, predictor=config.sampling.predictor.lower(),

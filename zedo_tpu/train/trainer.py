@@ -147,17 +147,21 @@ def make_train_step(sde, model_apply_raw, model_cfg, optimizer,
 
 
 def make_sharded_train_step(mesh, sde, model_apply_raw, model_cfg, optimizer,
-                            data_axis: str = "data", model_axis: Optional[str] = None,
-                            reduce_mean=False, compute_dtype: str = "fp32"):
-    """The multi-chip train step: batch sharded over `data_axis`, params
-    replicated (or TP-sharded over `model_axis` via parallel.mesh.tp_shardings
-    when given). XLA inserts the gradient all-reduce over ICI."""
+                            data_axis: str = "data",
+                            reduce_mean=False, compute_dtype: str = "fp32",
+                            continuous=True, likelihood_weighting=False):
+    """The multi-chip train step: batch sharded over `data_axis`. The state
+    in_sharding is left unpinned (None), so weights follow wherever the
+    caller placed them — replicated by default, or TP-sharded by
+    device_put-ing the params with `parallel.mesh.tp_shardings` before the
+    first call (as `__graft_entry__.dryrun_multichip` does). XLA inserts the
+    gradient all-reduce over ICI."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     step_fn = losses_lib.get_step_fn(
         sde, _bound_apply(model_apply_raw, model_cfg, compute_dtype),
         optimizer, train=True, reduce_mean=reduce_mean,
-        continuous=True,
+        continuous=continuous, likelihood_weighting=likelihood_weighting,
     )
     batch_sharding = NamedSharding(mesh, P(data_axis))
     jitted = jax.jit(
@@ -251,11 +255,14 @@ def train_loop(
             mesh, sde, model_apply_raw, model_cfg, optimizer,
             reduce_mean=config.training.reduce_mean,
             compute_dtype=trainer_cfg.compute_dtype,
+            continuous=config.training.continuous,
+            likelihood_weighting=config.training.likelihood_weighting,
         )
     else:
         train_step = make_train_step(
             sde, model_apply_raw, model_cfg, optimizer,
             reduce_mean=config.training.reduce_mean,
+            continuous=config.training.continuous,
             likelihood_weighting=config.training.likelihood_weighting,
             compute_dtype=trainer_cfg.compute_dtype,
         )
@@ -278,9 +285,22 @@ def train_loop(
     batch_size = min(config.training.batch_size, n)
     steps_per_epoch = max(1, n // batch_size)
 
-    def _ckpt_payload(epoch):
+    # mid-epoch resume offset: a preemption checkpoint records the CURRENT
+    # epoch plus the global step, so a resumed run can skip exactly the
+    # batches already trained (recording epoch+1 would silently drop the
+    # rest of the interrupted epoch — package review r3)
+    resume_skip = 0
+    if restore_dir:
+        resume_skip = int(state.step) - start_epoch * steps_per_epoch
+        if not (0 <= resume_skip < steps_per_epoch):
+            resume_skip = 0
+        if resume_skip:
+            log(f"mid-epoch resume: skipping the first {resume_skip} "
+                f"already-trained batches of epoch {start_epoch}")
+
+    def _ckpt_payload(next_epoch):
         return {
-            "epoch": epoch + 1,
+            "epoch": next_epoch,
             "params": state.params,
             "ema": {
                 "decay": state.ema.decay,
@@ -347,7 +367,7 @@ def train_loop(
 
     history = []
     eval_history = []
-    global_step = start_epoch * steps_per_epoch
+    global_step = int(state.step)
     for epoch in range(start_epoch, trainer_cfg.n_epochs):
         # per-epoch derived streams: a resumed run continues exactly where an
         # uninterrupted one would be, instead of replaying the epoch-0 batch
@@ -357,11 +377,13 @@ def train_loop(
         epoch_key = jax.random.fold_in(key, epoch)
         meter = AverageMeter()
         for i in range(steps_per_epoch):
+            epoch_key, step_key = jax.random.split(epoch_key)
+            if epoch == start_epoch and i < resume_skip:
+                continue  # trained before preemption; split keeps RNG aligned
             idx = perm[i * batch_size : (i + 1) * batch_size]
             batch = jnp.asarray(data_3d[idx])
             if batch_sharding is not None:
                 batch = jax.device_put(batch, batch_sharding)
-            epoch_key, step_key = jax.random.split(epoch_key)
             state, loss = train_step(state, step_key, batch, None, None)
             loss = float(loss)
             meter.update(loss)
@@ -372,7 +394,7 @@ def train_loop(
                     and global_step % trainer_cfg.preemption_ckpt_freq == 0):
                 ckpt_lib.save_native(
                     os.path.join(output_dir, "checkpoint_preempt"),
-                    _ckpt_payload(epoch),
+                    _ckpt_payload(epoch),  # CURRENT epoch: mid-epoch state
                 )
         log(f"EPOCH: [{epoch}/{trainer_cfg.n_epochs}], Loss: {meter.avg}")
         if writer is not None:
@@ -432,7 +454,8 @@ def train_loop(
                 eval_history.append(epoch_eval)
 
             ckpt_lib.save_native(
-                os.path.join(output_dir, f"checkpoint_{epoch}"), _ckpt_payload(epoch)
+                os.path.join(output_dir, f"checkpoint_{epoch}"),
+                _ckpt_payload(epoch + 1),  # epoch complete -> resume at next
             )
             log(f"Save checkpoint to {output_dir}")
 

@@ -19,7 +19,8 @@ The fast path specializes the shipped configuration — sub-VP SDE,
 euler_maruyama predictor, no corrector, probability_flow=True (forced at
 opt_main.py:157), continuous labels t*999 — for which the reverse update is
 the deterministic affine step
-    x' = x + (0.5*beta(t)*x + g2(t) * model(x, t*999) / std(t)) / N.
+    x' = x + (0.5*beta(t)*x - g2(t) * model(x, t*999) / std(t)) / N
+(score = -model/std, so the model term enters with a minus sign).
 A generic path drives any registered predictor/corrector via
 PCSampler.zedo_pc_step for non-standard configs.
 """
@@ -165,6 +166,17 @@ def run_oil(
     model_apply: score_mlp.apply-compatible fn for custom networks (ControlNet
     adapter, conditional model); those always take the generic path.
     """
+    if not isinstance(sampler, PCSampler):
+        # config.sampling.method='ode' reaches here through the CLIs'
+        # get_sampling_fn; the OIL loop is defined by single pc steps at
+        # external t (reference opt_main.py:210-218) — the full-transport
+        # ODE sampler has no such step. Fail with the reason instead of an
+        # AttributeError deep inside the scan.
+        raise TypeError(
+            "the OIL loop requires the pc sampler (one corrector+predictor "
+            "step per iteration); config.sampling.method='ode' is only "
+            "valid for full-loop sampling (run/sample.py)"
+        )
     geo = precompute_geometry(cond2d, k, conf)
     timestamps = jnp.linspace(sde.T, cfg.sampling_eps, cfg.iterations)
 
@@ -209,11 +221,9 @@ def _auto_tile(b: int, candidates=(512, 256, 128)) -> int:
 
 def _pallas_eligible(params, model_cfg) -> bool:
     """Kernel contract: 2 blocks, lane-aligned hidden, bf16 weights, TPU."""
-    import jax.numpy as jnp_
-
     if model_cfg.n_blocks != 2 or model_cfg.hidden_dim % 128 != 0:
         return False
-    if params["post_dense"]["weight"].dtype != jnp_.bfloat16:
+    if params["post_dense"]["weight"].dtype != jnp.bfloat16:
         return False
     platform = jax.devices()[0].platform
     return platform in ("tpu", "axon", "proxy")
