@@ -135,6 +135,10 @@ def main():
 
     metric = ("h36m_s50_eval_wallclock" if (n, s) == (886, 50)
               else f"eval_wallclock_n{n}_s{s}")
+    if reuse > 1:
+        # NFE-reduced runs must be unmistakable from the exact-dynamics
+        # headline (score_reuse costs a characterized +0.1mm)
+        metric += f"_reuse{reuse}"
     # the 60s target is defined for the (886, 50) H36M workload
     # (BASELINE.json); other shapes compare against a rate-scaled target
     target_s = 60.0 * (n * s) / (886 * 50)
@@ -152,6 +156,8 @@ def main():
             "compilation_cache": cache_dir or "disabled",
             "cache_entries_written": new_entries,
             "device_probe_s": round(device_probe_s, 3),
+            "score_reuse": reuse,
+            "pallas_tile": tile or "auto",
         },
     }
     print(json.dumps(result))

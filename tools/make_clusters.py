@@ -7,7 +7,8 @@ opt_main_infant.py:25,34). This tool closes the loop: k-means over
 root-centered training poses -> [S, j, 3] cluster centers.
 
     python tools/make_clusters.py poses.npy clusters/my_cluster5.npy 5
-    python tools/make_clusters.py --dataset h36m --data_dir data 5 clusters/
+    python tools/make_clusters.py --dataset h36m --data_dir data \
+        clusters/h36m_cluster5.npy 5   # source omitted with --dataset
 
 `poses.npy` is any [N, j, 3] array; --dataset routes through the data layer.
 """
@@ -33,7 +34,8 @@ def make_clusters(poses: np.ndarray, s: int, seed: int = 0) -> np.ndarray:
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("source", help="[N, j, 3] .npy of training poses, or see --dataset")
+    ap.add_argument("source", nargs="?", default=None,
+                    help="[N, j, 3] .npy of training poses (omit with --dataset)")
     ap.add_argument("out", help="output .npy path")
     ap.add_argument("s", type=int, help="number of clusters / hypotheses")
     ap.add_argument("--dataset", default=None,
@@ -47,11 +49,21 @@ def main():
 
         from zedo_tpu.data import DATASETS
 
-        ds = DATASETS[args.dataset](Path(args.data_dir, args.dataset), "train",
-                                    gt2d=True, abs_coord=False)
+        if args.dataset in ("mini", "syrip"):
+            # infant readers take (subset, ...) with a data_root kwarg
+            ds = DATASETS[args.dataset](
+                "train", gt2d=True,
+                data_root=str(Path(args.data_dir,
+                                   "mini-rgbd" if args.dataset == "mini"
+                                   else "syrip")))
+        else:
+            ds = DATASETS[args.dataset](Path(args.data_dir, args.dataset),
+                                        "train", gt2d=True, abs_coord=False)
         poses = np.asarray(ds.db_3d)
-    else:
+    elif args.source:
         poses = np.load(args.source)
+    else:
+        ap.error("provide a source .npy or --dataset")
 
     clusters = make_clusters(poses, args.s, seed=args.seed)
     np.save(args.out, clusters)

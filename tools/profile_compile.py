@@ -19,9 +19,11 @@ import time
 
 t_start = time.time()
 
+import os  # noqa: E402
+
 import numpy as np  # noqa: E402
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -16,6 +16,9 @@ import numpy as np
 def main():
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from zedo_tpu.utils.config import cli_int_arg, enable_compilation_cache
+
+    enable_compilation_cache()  # both precision programs persist/reuse
     import jax
     import jax.numpy as jnp
 
@@ -25,8 +28,8 @@ def main():
     from zedo_tpu.ops import camera
     from zedo_tpu.zeroshot import pipeline
 
-    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 886
-    s = int(sys.argv[sys.argv.index("--hypo") + 1]) if "--hypo" in sys.argv else 4
+    n = cli_int_arg(sys.argv, "--n", 886)
+    s = cli_int_arg(sys.argv, "--hypo", 4)
 
     rng = np.random.RandomState(0)
     k = np.zeros((n, 3, 3), np.float32)

@@ -86,6 +86,13 @@ def build_dataset(config, args):
     from zedo_tpu.data import DATASETS
 
     ds_name = config.data.dataset
+    if ds_name in ("mini", "syrip"):
+        # infant readers take (subset, ...) and the infant pipeline differs
+        # (pelvis modes, ray init) — an opaque TypeError otherwise
+        raise SystemExit(
+            f"dataset {ds_name!r} is evaluated by the infant CLI: "
+            "python -m zedo_tpu.run.opt_main_infant --config ..."
+        )
     cls = DATASETS[ds_name]
     kwargs = dict(
         subset="test", gt2d=args.gt, abs_coord=True,
@@ -126,6 +133,9 @@ def run_pipeline(config, args, dataset, logger_print=print):
                 "ema_params": ema.get("shadow_params"),
                 "step": raw.get("step", 0)}
     logger_print(f"=> loaded checkpoint '{ckpt_path}' (step {ckpt['step']})")
+    if args.ema and not ckpt.get("ema_params"):
+        logger_print("note: --ema requested but the checkpoint carries no "
+                     "EMA shadow params; using the raw weights")
     params = ckpt["ema_params"] if (args.ema and ckpt["ema_params"]) else ckpt["params"]
     from zedo_tpu.utils.config import resolve_dtype
 

@@ -90,6 +90,9 @@ def main(args):
         raw = restore_native(ckpt_path)
         ckpt = {"params": raw["params"],
                 "ema_params": (raw.get("ema") or {}).get("shadow_params")}
+    if args.ema and not ckpt.get("ema_params"):
+        print("note: --ema requested but the checkpoint carries no EMA "
+              "shadow params; using the raw weights")
     params = ckpt["ema_params"] if (args.ema and ckpt.get("ema_params")) else ckpt["params"]
 
     sde = build_sde(
@@ -116,6 +119,10 @@ def main(args):
 
     method = args.sampler or config.sampling.method.lower()
     if method == "ode":
+        if args.task != "gen":
+            raise SystemExit(
+                f"--task {args.task} requires the pc sampler (the task "
+                "masks impute between pc steps); drop --sampler ode")
         if getattr(args, "guide", None):
             raise SystemExit("--guide requires the pc sampler "
                              "(guidance steps between predictor updates); "

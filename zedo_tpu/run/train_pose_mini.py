@@ -25,7 +25,10 @@ def parse_args(argv):
                         help="orbax checkpoint to resume from (functional; the "
                              "reference parses but ignores it)")
     parser.add_argument("--sample", type=int, help="sample trainset to reduce data")
-    parser.add_argument("--flip", default=False, action="store_true")
+    parser.add_argument("--flip", default=False, action="store_true",
+                        help="parsed-but-inert, as in the reference (its "
+                             "loaders wire flip to --rotflip only, "
+                             "train_pose_mini.py:251)")
     parser.add_argument("--rotflip", default=False, action="store_true")
     parser.add_argument("--fine_tune", default=False, action="store_true")
     parser.add_argument("--fine_tune_ckpt", type=str, default=None,
@@ -33,7 +36,8 @@ def parse_args(argv):
     parser.add_argument("--name", type=str, default="")
     parser.add_argument("--log_name", type=str)
     parser.add_argument("--aug", default=False, action="store_true")
-    parser.add_argument("--scaled", default=False, action="store_true")
+    parser.add_argument("--scaled", default=False, action="store_true",
+                        help="parsed-but-inert, as in the reference")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--compute_dtype", type=str, default="fp32",
                         choices=["fp32", "bf16"],
