@@ -169,7 +169,9 @@ def test_trainer_loop(tmp_path, rng):
         db_3d = rng.randn(16, 17, 3).astype(np.float32) * 0.1
         gt_dataset = None
 
-    model_cfg = make_mlp_config(config, n_joints=17).__class__(
+    from zedo_tpu.models import score_mlp as _score_mlp
+
+    model_cfg = _score_mlp.ScoreMLPConfig(
         n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
         embedding_type="positional", num_scales=100,
     )
@@ -315,9 +317,6 @@ def test_infant_cli_end_to_end(tmp_path, rng, monkeypatch, capsys):
     config = mini_cfg.get_config()
     config.ZeDO.OIL_iterations = 20
     config.ZeDO.IPO_iterations = 20
-
-    class _FakeFlags:
-        pass
 
     monkeypatch.setattr(infant_cli, "FLAGS", _types.SimpleNamespace(config=config))
     args = _types.SimpleNamespace(

@@ -262,7 +262,8 @@ def test_ski_reader_and_eval(tmp_path, rng):
     ds = skiPose(str(tmp_path), "test", abs_coord=True)
     assert ds.camera_param[0, 0, 0] == 4.0 * 256
     assert ds.camera_param[0, 2, 2] == 1.0
-    assert ds.db_2d.max() <= 256.0 + 1e-5 or True  # scaled from 0..1
+    # scaled from 0..1 to pixel units: must exceed the raw range
+    assert 1.0 < ds.db_2d.max() <= 256.0 + 1e-5
     preds = (ds.db_3d - ds.db_3d[:, 0:1])[:, None] + 0.01
     e = ds.eval_multi(preds)
     assert abs(e - 0.01 * np.sqrt(3)) < 1e-4

@@ -121,7 +121,12 @@ def test_two_process_data_parallel_train_step(tmp_path):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+    # strip any inherited device-count flag (conftest sets =8) rather than
+    # rely on last-flag-wins duplicate parsing
+    inherited = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (inherited
                         + " --xla_force_host_platform_device_count=4").strip()
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

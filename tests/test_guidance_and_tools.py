@@ -1,7 +1,4 @@
 """Guidance gradients, ddpm params, and checkpoint conversion CLI roundtrip."""
-import subprocess
-import sys
-
 import jax
 import jax.numpy as jnp
 import numpy as np

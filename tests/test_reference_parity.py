@@ -400,7 +400,6 @@ def test_control_model_parity(rng):
     R = ref()
     torch.manual_seed(5)
     config = ref_config("positional", False)
-    tmodel = R.model.__dict__  # noqa: F841 — keep namespace import explicit
     import lib.algorithms.advanced.control_model as ref_cm
 
     cm = ref_cm.Control_ScoreModelFC_Adv(
@@ -873,7 +872,6 @@ def test_pw3d_reader_parity(rng, tmp_path):
         image_height=np.full(n, 1000),
         image_path=np.array([f"im{i}" for i in range(n)]),
     )
-    ref_ds = R.h36m.__dict__  # noqa: F841
     import lib.dataset.pw3d as ref_pw3d
 
     rd = ref_pw3d.PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True)

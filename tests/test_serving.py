@@ -45,6 +45,18 @@ def test_estimator_predict(tmp_path, rng, monkeypatch):
     assert (out["best"] < 2).all()
     # best index must actually minimize the reported reprojection error
     np.testing.assert_array_equal(out["best"], out["reprojection_error"].argmin(1))
-    # second call with a different N in the same bucket: no new trace needed
+    # second call with a different N in the same bucket must NOT re-trace:
+    # both pad to batch_bucket=16, so solve_jit's compiled-program cache
+    # stays at the same size (this is the load-once/predict-many contract)
+    from zedo_tpu.zeroshot import pipeline as _pipeline
+
+    cache_before = _pipeline._solve_jitted._cache_size()
     out2 = est.predict(kp[:5], k[:5])
     assert out2["poses"].shape == (5, 2, 17, 3)
+    assert _pipeline._solve_jitted._cache_size() == cache_before
+    # a different bucket shape WOULD trace anew (sanity that the counter
+    # actually counts)
+    est.batch_bucket = 32
+    out3 = est.predict(kp, k)
+    assert out3["poses"].shape == (n, 2, 17, 3)
+    assert _pipeline._solve_jitted._cache_size() == cache_before + 1

@@ -7,7 +7,6 @@ learnable by the small MLP in ~1500 steps, and poses have genuine 3D structure
 that 2D observations alone cannot recover — the perpendicular ray gradient
 never moves points along their rays, so depth must come from the prior.
 """
-import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -202,7 +201,7 @@ def test_multi_hypothesis_improves(trained_prior):
                          jnp.asarray(px), None, jnp.asarray(k),
                          precision=jax.lax.Precision.HIGHEST)
     poses = np.asarray(res.poses)  # [N, 3, j, 3]
-    per_hypo = np.sqrt(((poses - gt[:, None, None][:, :, 0]) ** 2).sum(-1)).mean(-1)
+    per_hypo = np.sqrt(((poses - gt[:, None]) ** 2).sum(-1)).mean(-1)
     best = per_hypo.min(axis=1).mean() * 1000
     single = per_hypo[:, 0].mean() * 1000
     print(f"single-hypothesis {single:.1f}mm | min-of-3 {best:.1f}mm")
