@@ -20,6 +20,22 @@ from zedo_tpu.diffusion.score import get_score_fn
 from zedo_tpu.diffusion.sde import SDE, VESDE, VPSDE, _bcast
 
 
+def lr_schedule(config):
+    """The LR-vs-step schedule (linear warmup then flat — the reference's
+    optimization_manager, losses.py:39-53), exposed so the trainer can log
+    the reference's per-epoch `opt_LR_{i}` TensorBoard scalar
+    (train_pose_mini.py:362) without duplicating the formula."""
+    warmup = config.optim.warmup
+    lr = config.optim.lr
+
+    def schedule(step):
+        if warmup > 0:
+            return lr * jnp.minimum(step / warmup, 1.0)
+        return lr
+
+    return schedule
+
+
 def get_optimizer(config) -> optax.GradientTransformation:
     """Adam with warmup + clipping, matching losses.py:26-53 semantics.
 
@@ -28,13 +44,7 @@ def get_optimizer(config) -> optax.GradientTransformation:
     """
     if config.optim.optimizer != "Adam":
         raise NotImplementedError(f"Optimizer {config.optim.optimizer} not supported yet!")
-    warmup = config.optim.warmup
-    lr = config.optim.lr
-
-    def schedule(step):
-        if warmup > 0:
-            return lr * jnp.minimum(step / warmup, 1.0)
-        return lr
+    schedule = lr_schedule(config)
 
     transforms = []
     if config.optim.grad_clip >= 0:

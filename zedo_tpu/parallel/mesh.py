@@ -19,6 +19,7 @@ bit-identical) and the single-process bring-up path.
 """
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import jax
@@ -44,6 +45,41 @@ def default_mesh(
     assert n % model_parallel == 0
     arr = np.array(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (data_axis, model_axis))
+
+
+def mesh_from_spec(spec: Optional[str], devices=None) -> Optional[Mesh]:
+    """CLI-facing mesh builder (the reference engages multi-GPU training from
+    config alone, train_pose_mini.py:269 `nn.DataParallel(..., config.GPUs)`;
+    the TPU equivalent is a mesh built from a flag).
+
+    Spec grammar:
+      'auto'        -> 1-D data mesh over all devices when >1, else None
+      'off'/'none'  -> None (single-device)
+      'dp[N]'       -> data mesh over N (default: all) devices
+      'dp[N],tpM'   -> 2-D (data x model) mesh, N*M devices
+    """
+    spec = (spec or "auto").strip().lower()
+    if spec in ("off", "none", "single", "1"):
+        return None
+    devices = list(devices if devices is not None else jax.devices())
+    if spec == "auto":
+        if len(devices) <= 1:
+            return None
+        return Mesh(np.array(devices), ("data",))
+    m = re.fullmatch(r"dp(\d+)?(?:,tp(\d+))?", spec)
+    if not m:
+        raise ValueError(
+            f"bad --mesh spec {spec!r}: expected auto|off|dp[N][,tpM]")
+    tp = int(m.group(2) or 1)
+    dp = int(m.group(1)) if m.group(1) else max(1, len(devices) // tp)
+    need = dp * tp
+    if need > len(devices):
+        raise ValueError(
+            f"--mesh {spec!r} needs {need} devices, have {len(devices)}")
+    devices = devices[:need]
+    if tp > 1:
+        return Mesh(np.array(devices).reshape(dp, tp), ("data", "model"))
+    return Mesh(np.array(devices), ("data",))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -50,6 +50,15 @@ def parse_args(argv):
                              "on v5e (threefry bit-generation is 24%% of the "
                              "step at batch 50k — DESIGN.md); draws differ "
                              "from threefry but are statistically equivalent")
+    parser.add_argument("--mesh", type=str, default="auto",
+                        help="device mesh for multi-chip training: auto "
+                             "(data-parallel over all chips when >1), off, "
+                             "dp[N], or dp[N],tpM (e.g. dp4,tp2). The batch "
+                             "is sharded over the data axis; with tp the "
+                             "ScoreMLP hidden dim is sharded over the model "
+                             "axis (parallel.mesh.tp_shardings). Replaces "
+                             "the reference's nn.DataParallel-from-config "
+                             "(train_pose_mini.py:269)")
     parser.add_argument("--override", action="append", default=[],
                         help="config override, e.g. --override training.batch_size=256")
     return parser.parse_args(argv[1:])
@@ -148,6 +157,14 @@ def main(args):
     except Exception:
         writer = None
 
+    from zedo_tpu.parallel.mesh import mesh_from_spec
+
+    mesh = mesh_from_spec(getattr(args, "mesh", "auto"))
+    if mesh is not None:
+        logger.info(f"training mesh: {dict(mesh.shape)}")
+    else:
+        logger.info("training mesh: single-device")
+
     dataset = build_train_dataset(config, args)
     logger.info(f"total train samples: {len(dataset.db_3d)}")
 
@@ -181,6 +198,7 @@ def main(args):
             restore_dir=getattr(args, "restore_dir", None) or None,
             writer=writer,
             logger=logger,
+            mesh=mesh,
         )
     finally:
         if writer is not None:

@@ -210,7 +210,25 @@ def train_loop(
         params = ckpt_lib._merge(params, fine_tune_params)
 
     optimizer = losses_lib.get_optimizer(config)
-    state = losses_lib.init_train_state(params, optimizer, config.model.ema_rate)
+    if mesh is not None:
+        # place params on the mesh before building the state: hidden-dim
+        # sharded over 'model' when the mesh is 2-D (parallel.mesh
+        # tp_shardings), replicated otherwise. The state init runs jitted so
+        # the Adam moments and EMA shadow inherit the params' placement.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from zedo_tpu.parallel.mesh import tp_shardings
+
+        if "model" in mesh.axis_names and mesh.shape["model"] > 1:
+            params = jax.device_put(params, tp_shardings(mesh, params, "model"))
+        else:
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        state = jax.jit(
+            lambda p: losses_lib.init_train_state(p, optimizer,
+                                                  config.model.ema_rate)
+        )(params)
+    else:
+        state = losses_lib.init_train_state(params, optimizer, config.model.ema_rate)
 
     start_epoch = 0
     if restore_dir:
@@ -283,6 +301,19 @@ def train_loop(
     data_3d = np.asarray(dataset.db_3d, np.float32) * trainer_cfg.data_scale
     n = len(data_3d)
     batch_size = min(config.training.batch_size, n)
+    if mesh is not None:
+        # the batch is device_put to P('data'): keep it divisible by the
+        # data-axis size (round down, never below one row per device)
+        n_data = mesh.shape["data"]
+        if n < n_data:
+            raise ValueError(
+                f"dataset has {n} rows < data-axis size {n_data}; "
+                f"use --mesh off or a smaller dp")
+        rounded = max(n_data, (batch_size // n_data) * n_data)
+        if rounded != batch_size:
+            log(f"batch_size {batch_size} -> {rounded} "
+                f"(multiple of data-axis size {n_data})")
+        batch_size = rounded
     steps_per_epoch = max(1, n // batch_size)
 
     # mid-epoch resume offset: a preemption checkpoint records the CURRENT
@@ -367,6 +398,7 @@ def train_loop(
 
     history = []
     eval_history = []
+    lr_schedule_fn = losses_lib.lr_schedule(config)
     global_step = int(state.step)
     for epoch in range(start_epoch, trainer_cfg.n_epochs):
         # per-epoch derived streams: a resumed run continues exactly where an
@@ -399,6 +431,10 @@ def train_loop(
         log(f"EPOCH: [{epoch}/{trainer_cfg.n_epochs}], Loss: {meter.avg}")
         if writer is not None:
             writer.add_scalar("Loss/train", meter.avg, epoch)
+            # per-group LR scalar, as the reference logs each epoch
+            # (train_pose_mini.py:362, `opt_LR_{i+1}`; one param group here)
+            writer.add_scalar(
+                "opt_LR_1", float(lr_schedule_fn(global_step)), epoch)
         history.append(meter.avg)
 
         if epoch % trainer_cfg.eval_freq == 0:
