@@ -365,7 +365,7 @@ def train_loop(
         else:
             eval_gt = np.asarray(test_dataset.db_3d, np.float32)
         eval_gt = eval_gt - eval_gt[:, 0:1]
-        if trainer_cfg.micro_solve and model_apply_raw is score_mlp.apply:
+        if trainer_cfg.micro_solve:
             micro_scene = _build_micro_scene(
                 eval_gt, trainer_cfg.data_scale,
                 trainer_cfg.micro_solve_poses, trainer_cfg.seed,
@@ -384,12 +384,20 @@ def train_loop(
                 probability_flow=True, denoise=True, eps=0.01,
             )
 
+            # adapter models (ControlNet / conditional) route through the
+            # generic OIL path via model_apply, so ZeDO-i training logs
+            # Eval/zeroshot_mpjpe_mm too (VERDICT r3 weak #4); the standard
+            # ScoreMLP passes None and keeps the fast path
+            micro_apply = (None if model_apply_raw is score_mlp.apply
+                           else model_apply_raw)
+
             def micro_solver(ema_params):
                 res = zs_pipeline.solve_jit(
                     ema_params, model_cfg, sde, micro_sampler, micro_zcfg,
                     jnp.asarray(micro_scene["cluster"]),
                     jnp.asarray(micro_scene["px"]), None,
                     jnp.asarray(micro_scene["k"]),
+                    model_apply=micro_apply,
                 )
                 pred = np.asarray(res.poses)[:, 0]  # S=1
                 pred = pred - pred[:, 0:1]

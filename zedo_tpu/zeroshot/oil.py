@@ -58,6 +58,12 @@ class OILConfig:
     # None = auto: fused pallas score kernel when params are bf16, the
     # backend is a TPU, and the architecture matches the kernel contract
     use_pallas: Optional[bool] = None
+    # run the pallas kernel in interpret mode (pure-XLA emulation): lets the
+    # kernel path — including per-shard auto-tile selection — co-execute
+    # with a multi-device mesh on the CPU backend (shard_map partitions
+    # around the kernel, pipeline.py solve_sharded). Force with
+    # use_pallas=True; off-TPU the kernel requires interpret=True
+    pallas_interpret: bool = False
     # None = auto: smallest padded batch among {512, 256, 128} (largest tile
     # on ties). Under the per-hypothesis vmap the batch is N poses, not N*S
     # (e.g. H36M N=886: tile 256 pads to 1024 = 15% waste, tile 128 to 896 =
@@ -276,7 +282,8 @@ def _run_oil_fast(
         def model_forward(x_flat, step_xs):
             vecs = step_xs
             x_in = jnp.pad(x_flat, ((0, b_pad - b), (0, io_pad - io)))
-            out = sk.fused_score_forward(x_in, packed, vecs, tile=tile)
+            out = sk.fused_score_forward(x_in, packed, vecs, tile=tile,
+                                         interpret=cfg.pallas_interpret)
             return out[:b, :io]
 
         step_tables = vecs_table

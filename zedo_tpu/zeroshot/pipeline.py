@@ -56,6 +56,11 @@ class ZeDOConfig:
                 score_reuse=int(z.get("score_reuse", 1)),
                 # exact-GN escape hatch (--override ZeDO.gn_fp32=True)
                 gn_fp32=bool(z.get("gn_fp32", False)),
+                # kernel-path overrides (--override ZeDO.use_pallas=True /
+                # ZeDO.pallas_interpret=True); interpret emulates the kernel
+                # in XLA so the pallas path runs off-TPU too
+                use_pallas=z.get("use_pallas", None),
+                pallas_interpret=bool(z.get("pallas_interpret", False)),
             ),
         )
 
@@ -80,8 +85,13 @@ def solve_one_hypothesis(
     k: jax.Array,  # [N, 3, 3]
     rng: Optional[jax.Array] = None,
     precision=None,
+    model_apply=None,
 ) -> OILResult:
-    """One hypothesis over the full batch (the body of opt_main.py:166-220)."""
+    """One hypothesis over the full batch (the body of opt_main.py:166-220).
+
+    model_apply: score_mlp.apply-compatible fn for non-standard networks
+    (ControlNet adapter, conditional model); None = the standard ScoreMLP
+    (fast path when the sampler qualifies)."""
     n = cond2d.shape[0]
     # root-center the cluster pose and broadcast (opt_main.py:167-168)
     pose0 = cluster_pose - cluster_pose[0:1, :]
@@ -94,7 +104,7 @@ def solve_one_hypothesis(
     return run_oil(
         params, model_cfg, sde, sampler,
         x0, ipo.translation, cond2d, k, conf, cfg.oil,
-        rng=rng, precision=precision,
+        rng=rng, precision=precision, model_apply=model_apply,
     )
 
 
@@ -110,6 +120,7 @@ def solve(
     k: jax.Array,
     rng: Optional[jax.Array] = None,
     precision=None,
+    model_apply=None,
 ) -> SolveResult:
     """All S hypotheses via vmap; returns [N, S, j, 3] (opt_main.py:222-224)."""
     if rng is None:
@@ -120,6 +131,7 @@ def solve(
         return solve_one_hypothesis(
             params, model_cfg, sde, sampler, cfg,
             cluster_pose, cond2d, conf, k, rng=hyp_rng, precision=precision,
+            model_apply=model_apply,
         )
 
     result = jax.vmap(one)(cluster_poses, rngs)  # [S, N, ...]
@@ -131,18 +143,19 @@ def solve(
 
 
 _solve_jitted = jax.jit(
-    solve, static_argnames=("model_cfg", "sde", "sampler", "cfg", "precision")
+    solve, static_argnames=("model_cfg", "sde", "sampler", "cfg", "precision",
+                            "model_apply")
 )
 
 
 def solve_jit(params, model_cfg, sde, sampler, cfg, cluster_poses, cond2d, conf, k,
-              rng=None, precision=None) -> SolveResult:
-    """jitted entry; static pieces (configs/sde/sampler) are hashable frozen
-    dataclasses, so retracing only happens when they change."""
+              rng=None, precision=None, model_apply=None) -> SolveResult:
+    """jitted entry; static pieces (configs/sde/sampler/model_apply) are
+    hashable, so retracing only happens when they change."""
     return _solve_jitted(
         params, model_cfg=model_cfg, sde=sde, sampler=sampler, cfg=cfg,
         cluster_poses=cluster_poses, cond2d=cond2d, conf=conf, k=k,
-        rng=rng, precision=precision)
+        rng=rng, precision=precision, model_apply=model_apply)
 
 
 def solve_sharded(
@@ -159,6 +172,7 @@ def solve_sharded(
     rng=None,
     precision=None,
     data_axis: str = "data",
+    model_apply=None,
 ) -> SolveResult:
     """Multi-chip solve: shard the pose batch N over `data_axis` of `mesh`
     via `shard_map`, replicate weights and cluster poses. No collectives are
@@ -193,7 +207,8 @@ def solve_sharded(
     cluster_poses = jax.device_put(cluster_poses, repl)
 
     fn = _sharded_solve_fn(
-        mesh, data_axis, conf is not None, model_cfg, sde, sampler, cfg, precision
+        mesh, data_axis, conf is not None, model_cfg, sde, sampler, cfg,
+        precision, model_apply,
     )
     if conf is None:
         return fn(params, cluster_poses, cond2d, k, rng)
@@ -202,7 +217,7 @@ def solve_sharded(
 
 @functools.lru_cache(maxsize=32)
 def _sharded_solve_fn(mesh, data_axis, has_conf, model_cfg, sde, sampler, cfg,
-                      precision):
+                      precision, model_apply=None):
     from jax.sharding import PartitionSpec as P
 
     b = P(data_axis)
@@ -211,13 +226,15 @@ def _sharded_solve_fn(mesh, data_axis, has_conf, model_cfg, sde, sampler, cfg,
     if has_conf:
         def shard_fn(params, clusters, cond2d, conf, k, rng):
             return solve(params, model_cfg, sde, sampler, cfg,
-                         clusters, cond2d, conf, k, rng=rng, precision=precision)
+                         clusters, cond2d, conf, k, rng=rng,
+                         precision=precision, model_apply=model_apply)
 
         in_specs = (r, r, b, b, b, r)
     else:
         def shard_fn(params, clusters, cond2d, k, rng):
             return solve(params, model_cfg, sde, sampler, cfg,
-                         clusters, cond2d, None, k, rng=rng, precision=precision)
+                         clusters, cond2d, None, k, rng=rng,
+                         precision=precision, model_apply=model_apply)
 
         in_specs = (r, r, b, b, r)
 
