@@ -72,6 +72,12 @@ def build_optim_config(get_defaults, dataset: str, zedo: dict, num_joint=None):
     # f32 even with bf16 weights (`--override ZeDO.gn_fp32=True`; the bf16
     # default costs a measured +0.02mm — ops/pallas/score_kernel.py)
     z.gn_fp32 = zedo.get("gn_fp32", False)
+    # kernel-path selection: None = auto (TPU + bf16 weights + eligible
+    # arch). `--override ZeDO.use_pallas=True` forces the kernel;
+    # ZeDO.pallas_interpret=True emulates it in XLA so the kernel code path
+    # runs off-TPU too (zeroshot/oil.py OILConfig)
+    z.use_pallas = zedo.get("use_pallas", None)
+    z.pallas_interpret = zedo.get("pallas_interpret", False)
     return config
 
 

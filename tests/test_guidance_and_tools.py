@@ -91,6 +91,16 @@ def test_apply_overrides():
     with _p.raises(ValueError):
         apply_overrides(c, ["ZeDO.OIL_iterations"])
 
+    # kernel-path knobs are declared in the config (CLI-reachable: the
+    # override layer rejects unknown keys) and land in OILConfig
+    from zedo_tpu.zeroshot.pipeline import ZeDOConfig
+
+    c2 = m.get_config()
+    assert c2.ZeDO.use_pallas is None and c2.ZeDO.pallas_interpret is False
+    apply_overrides(c2, ["ZeDO.use_pallas=True", "ZeDO.pallas_interpret=True"])
+    oil = ZeDOConfig.from_config(c2).oil
+    assert oil.use_pallas is True and oil.pallas_interpret is True
+
 
 def test_find_closest(rng):
     import jax.numpy as jnp
