@@ -1072,8 +1072,166 @@ def test_trainer_lr_tensorboard_scalar(tmp_path, rng):
         writer=FakeWriter(),
     )
     lrs = [(v, e) for (t, v, e) in recorded if t == "opt_LR_1"]
-    # 64/32 = 2 steps/epoch, warmup 4: global step after each epoch is
-    # 2, 4, 6 -> lr * min(step/4, 1) = lr/2, lr, lr
+    # 64/32 = 2 steps/epoch, warmup 4. The displayed value matches the
+    # reference's: the LR the last optimize call used, computed from the
+    # pre-increment step counter (losses.py:199) — after 2, 4, 6 steps
+    # that's lr * min({1,3,5}/4, 1)
     assert [e for _, e in lrs] == [0, 1, 2]
     np.testing.assert_allclose([v for v, _ in lrs],
-                               [0.005, 0.01, 0.01], rtol=1e-6)
+                               [0.0025, 0.0075, 0.01], rtol=1e-6)
+
+
+def test_grad_mask_freezes_leaves(rng):
+    """losses.get_step_fn(grad_mask=...): False leaves never move (the
+    reference's requires_grad=False / ControlNet freeze()), True leaves
+    train, and the loss still descends."""
+    import jax
+    import jax.numpy as jnp
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.diffusion import losses as losses_lib
+    from zedo_tpu.diffusion.sde import SubVPSDE
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.train import trainer
+
+    config = mini_cfg.get_config()
+    config.optim.warmup = 0
+    config.optim.lr = 1e-2
+    model_cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional",
+    )
+    params = score_mlp.init_params(jax.random.PRNGKey(0), model_cfg)
+    mask = jax.tree.map(lambda _: True, params)
+    mask["pre_dense"] = jax.tree.map(lambda _: False, mask["pre_dense"])
+    mask["sigmas"] = False  # buffer: frozen
+
+    optimizer = losses_lib.get_optimizer(config)
+    sde = SubVPSDE(n=1000, t_max=1.0)
+    step = trainer.make_train_step(sde, score_mlp.apply, model_cfg, optimizer,
+                                   grad_mask=mask)
+    state = losses_lib.init_train_state(params, optimizer, 0.9999)
+    batch = jnp.asarray(rng.randn(32, 17, 3).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(5)
+    losses = []
+    for _ in range(6):
+        key, sk = jax.random.split(key)
+        state, loss = step(state, sk, batch, None, None)
+        losses.append(float(loss))
+    np.testing.assert_array_equal(  # frozen: bit-identical
+        np.asarray(state.params["pre_dense"]["weight"]),
+        np.asarray(params["pre_dense"]["weight"]))
+    assert not np.array_equal(  # trainable: moved
+        np.asarray(state.params["post_dense"]["weight"]),
+        np.asarray(params["post_dense"]["weight"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
+
+
+def _mini_fixture(rng, n_train=8, n_val=4):
+    os.makedirs("data/mini-rgbd")
+    d = {"train": {}, "validate": {}}
+    for split, seq, count in [("train", "01", n_train), ("validate", "11", n_val)]:
+        for i in range(count):
+            d[split][f"{seq}_f{i}.txt"] = {
+                "pose_2d": rng.rand(25, 2).astype(np.float32) * 400 + 100,
+                "pose_3d": rng.randn(25, 3).astype(np.float32) * 0.1,
+            }
+    np.save("data/mini-rgbd/MINI-RGBD.npy", d)
+
+
+def _train_cli_args(**kw):
+    import types as _types
+
+    base = dict(restore_dir=None, sample=None, flip=False, rotflip=False,
+                fine_tune=False, fine_tune_ckpt=None, name="t", log_name=None,
+                aug=False, scaled=False, epochs=1, override=[], mesh="off",
+                model="score")
+    base.update(kw)
+    return _types.SimpleNamespace(**base)
+
+
+def test_train_cli_control_adapter(tmp_path, rng, monkeypatch):
+    """--model control --fine_tune ckpt.pth: the ZeDO-i adapter recipe from
+    the command line — trunk seeded from an adult checkpoint and frozen
+    (init_weight + freeze, control_model.py:224-261), only copy/zc/
+    infant_cond leaves train, and the micro zero-shot validation runs."""
+    import glob
+    import types as _types
+
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    import zedo_tpu.run.train_pose_mini as train_cli
+    from zedo_tpu.utils.checkpoint import restore_native
+
+    monkeypatch.chdir(tmp_path)
+    _mini_fixture(rng)
+
+    # adult trunk checkpoint (full-size, as the CLI's make_mlp_config builds)
+    tm = TorchScoreMLP()
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    torch.save({"epoch": 1, "model_state_dict": sd, "step": 1},
+               "adult.pth")
+
+    config = mini_cfg.get_config()
+    config.data.dataset = "mini"
+    config.DATASET.NUM_JOINT = 17
+    config.training.batch_size = 8
+    config.eval.batch_size = 4
+    config.model.num_scales = 20
+    # no warmup: with warmup the first optimizer step runs at lr=0 (the
+    # reference's optimize_fn reads the pre-increment step counter,
+    # losses.py:199) and this 1-epoch test would see no movement at all
+    config.optim.warmup = 0
+    monkeypatch.setattr(train_cli, "FLAGS", _types.SimpleNamespace(config=config))
+    train_cli.main(_train_cli_args(
+        model="control", fine_tune=True, fine_tune_ckpt="adult.pth",
+        log_name="ctrl"))
+
+    run_dirs = glob.glob("output/*/ctrl-t")
+    assert len(run_dirs) == 1, run_dirs
+    text = "".join(open(f).read()
+                   for f in glob.glob(os.path.join(run_dirs[0], "*.log")))
+    assert "ControlNet adapter training: trunk frozen" in text
+    assert "param leaves frozen" in text
+    assert "zero-shot MPJPE" in text  # adapter micro-solve engaged
+
+    restored = restore_native(os.path.join(run_dirs[0], "checkpoint_0"))
+    p = restored["params"]
+    trunk_w = tm.state_dict()["pre_dense.weight"].numpy()
+    # trunk leaf: seeded from the checkpoint and bit-frozen through training
+    np.testing.assert_array_equal(np.asarray(p["pre_dense"]["weight"]), trunk_w)
+    # control branch: started as a trunk copy (init_weight), then trained
+    assert not np.array_equal(np.asarray(p["pre_dense_copy"]["weight"]), trunk_w)
+    assert "infant_cond" in p and "zc_layer_1" in p
+
+
+def test_train_cli_cond_model(tmp_path, rng, monkeypatch):
+    """--model cond: conditional-prior training on the dataset's normalized
+    2D keypoints (the role of the reference's missing model_cond)."""
+    import glob
+    import types as _types
+
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    import zedo_tpu.run.train_pose_mini as train_cli
+    from zedo_tpu.utils.checkpoint import restore_native
+
+    monkeypatch.chdir(tmp_path)
+    _mini_fixture(rng)
+
+    config = mini_cfg.get_config()
+    config.data.dataset = "mini"
+    config.DATASET.NUM_JOINT = 17
+    config.training.batch_size = 8
+    config.eval.batch_size = 4
+    config.model.num_scales = 20
+    config.training.cond_joint_mask_prob = 0.1  # CFG dropout engaged
+    monkeypatch.setattr(train_cli, "FLAGS", _types.SimpleNamespace(config=config))
+    train_cli.main(_train_cli_args(model="cond", log_name="cond"))
+
+    run_dirs = glob.glob("output/*/cond-t")
+    assert len(run_dirs) == 1, run_dirs
+    text = "".join(open(f).read()
+                   for f in glob.glob(os.path.join(run_dirs[0], "*.log")))
+    assert "conditional-prior training: condition = normalized 2D" in text
+    assert "EPOCH: [0/1]" in text
+    restored = restore_native(os.path.join(run_dirs[0], "checkpoint_0"))
+    assert "cond_embed" in restored["params"]  # the conditional net trained

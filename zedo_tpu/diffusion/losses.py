@@ -201,12 +201,21 @@ def get_step_fn(
     reduce_mean: bool = False,
     continuous: bool = True,
     likelihood_weighting: bool = False,
+    grad_mask=None,
 ):
     """One train/eval step (losses.py:154-213) as a pure function.
 
     Train: grads -> clip -> Adam(warmed lr) -> EMA update.
     Eval: loss under EMA params (the reference's store/copy_to/restore dance
     collapses to `ema.shadow_params`).
+
+    grad_mask: optional bool pytree matching params — False leaves are
+    frozen (the reference's requires_grad=False / ControlNet freeze(),
+    control_model.py:224-232). Gradients are zeroed BEFORE the optimizer
+    chain, so global-norm clipping sees only trainable gradients (as
+    torch's clip_grad_norm_ over trainable params does), and the final
+    updates are masked again so no transform (e.g. coupled weight decay)
+    can move a frozen leaf.
     """
     if continuous:
         loss_fn = get_sde_loss_fn(
@@ -228,11 +237,19 @@ def get_step_fn(
 
     if train:
 
+        def _mask(tree):
+            if grad_mask is None:
+                return tree
+            return jax.tree.map(
+                lambda g, m: g if m else jnp.zeros_like(g), tree, grad_mask)
+
         def step_fn(state: TrainState, rng, batch, condition=None, mask=None):
             loss, grads = jax.value_and_grad(loss_fn)(
                 state.params, rng, batch, condition, mask
             )
+            grads = _mask(grads)
             updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+            updates = _mask(updates)
             params = optax.apply_updates(state.params, updates)
             new_state = TrainState(
                 step=state.step + 1,

@@ -10,7 +10,7 @@ from typing import Callable, NamedTuple
 
 import jax
 
-from zedo_tpu.models import control_mlp, score_mlp
+from zedo_tpu.models import control_mlp, score_mlp, score_mlp_cond
 
 _MODELS: dict[str, "ModelDef"] = {}
 
@@ -69,6 +69,10 @@ register_model(
 register_model(
     ModelDef(control_mlp.init_params, control_mlp.apply, make_mlp_config),
     name="control_mlp",
+)
+register_model(
+    ModelDef(score_mlp_cond.init_params, score_mlp_cond.apply, make_mlp_config),
+    name="score_mlp_cond",
 )
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import pprint
 
+import numpy as np
 from absl import app, flags
 from absl.flags import argparse_flags
 from ml_collections.config_flags import config_flags
@@ -50,6 +51,17 @@ def parse_args(argv):
                              "on v5e (threefry bit-generation is 24%% of the "
                              "step at batch 50k — DESIGN.md); draws differ "
                              "from threefry but are statistically equivalent")
+    parser.add_argument("--model", type=str, default="score",
+                        choices=["score", "control", "cond"],
+                        help="network to train (mirrors opt_main_infant's "
+                             "--control/--cond selection): 'control' trains "
+                             "the ControlNet adapter with the trunk frozen "
+                             "(reference freeze() semantics, "
+                             "control_model.py:224-261; combine with "
+                             "--fine_tune to seed the trunk from an adult "
+                             "checkpoint); 'cond' trains the conditional "
+                             "prior on the dataset's 2D keypoints "
+                             "(normalized to the ±1 image frame)")
     parser.add_argument("--mesh", type=str, default="auto",
                         help="device mesh for multi-chip training: auto "
                              "(data-parallel over all chips when >1), off, "
@@ -169,6 +181,59 @@ def main(args):
     logger.info(f"total train samples: {len(dataset.db_3d)}")
 
     model_cfg = make_mlp_config(config, n_joints=config.DATASET.NUM_JOINT)
+
+    # network selection (opt_main_infant.py:122-148 --control/--cond,
+    # reference training ships only the plain model)
+    model_kind = getattr(args, "model", "score")
+    model_apply_raw = None  # None -> train_loop default (score_mlp.apply)
+    model_init = None
+    post_init_fn = None
+    freeze_fn = None
+    condition_data = None
+    if model_kind == "control":
+        from zedo_tpu.models import control_mlp
+
+        model_apply_raw = control_mlp.apply
+        model_init = control_mlp.init_params
+        # init_weight + freeze (control_model.py:224-261): after any
+        # fine-tune merge, copy the trunk into the control branch, then
+        # train only copy/zc/infant_cond leaves
+        post_init_fn = lambda p: control_mlp.init_control_params(p, model_cfg)
+        freeze_fn = control_mlp.trainable_mask
+        logger.info("ControlNet adapter training: trunk frozen, "
+                    "copy/zc/infant_cond trainable (control_model.py:224-261)")
+    elif model_kind == "cond":
+        import functools
+
+        from zedo_tpu.models import score_mlp_cond
+        from zedo_tpu.data.base import normalize_data
+
+        mask_cfg = score_mlp_cond.CondMaskConfig(
+            pose_mask_prob=float(config.training.get("cond_pose_mask_prob", 0.0)),
+            part_mask_prob=float(config.training.get("cond_part_mask_prob", 0.0)),
+            joint_mask_prob=float(config.training.get("cond_joint_mask_prob", 0.0)),
+        )
+        base_apply = functools.partial(score_mlp_cond.apply, mask_cfg=mask_cfg)
+
+        def cond_apply(p, cfg, x, labels, cond, msk, **kw):
+            if cond is None:
+                # no condition supplied (eval sampling, micro solve): use
+                # the train-time dropout null, NOT raw zeros, which would
+                # re-express to cond = batch.xy (score_mlp_cond docstring)
+                return base_apply(p, cfg, x, labels, None, msk,
+                                  force_null_condition=True, **kw)
+            return base_apply(p, cfg, x, labels, cond, msk, **kw)
+
+        model_apply_raw = cond_apply
+        model_init = score_mlp_cond.init_params
+        # condition = the dataset's 2D keypoints in the reference's own ±1
+        # image-frame normalization (data/base.py normalize_data,
+        # h36m.py:66-76) — commensurate with the metre-scale poses
+        condition_data = normalize_data(
+            np.asarray(dataset.db_2d, np.float32)[..., :2])
+        logger.info("conditional-prior training: condition = normalized 2D "
+                    f"keypoints {condition_data.shape}, mask_cfg={mask_cfg}")
+
     fine_tune_params = None
     if args.fine_tune:
         if not args.fine_tune_ckpt:
@@ -187,6 +252,9 @@ def main(args):
         ),
         compute_dtype=getattr(args, "compute_dtype", "fp32"),
     )
+    extra = {}
+    if model_apply_raw is not None:
+        extra.update(model_apply_raw=model_apply_raw, model_init=model_init)
     try:
         trainer.train_loop(
             config, dataset,
@@ -199,6 +267,10 @@ def main(args):
             writer=writer,
             logger=logger,
             mesh=mesh,
+            post_init_fn=post_init_fn,
+            freeze_fn=freeze_fn,
+            condition_data=condition_data,
+            **extra,
         )
     finally:
         if writer is not None:

@@ -136,12 +136,13 @@ def _bound_apply(model_apply_raw, model_cfg, compute_dtype: str = "fp32"):
 
 def make_train_step(sde, model_apply_raw, model_cfg, optimizer,
                     reduce_mean=False, continuous=True, likelihood_weighting=False,
-                    compute_dtype: str = "fp32"):
+                    compute_dtype: str = "fp32", grad_mask=None):
     """jitted TrainState step. model_apply_raw = score_mlp.apply-style fn."""
     step_fn = losses_lib.get_step_fn(
         sde, _bound_apply(model_apply_raw, model_cfg, compute_dtype),
         optimizer, train=True, reduce_mean=reduce_mean,
         continuous=continuous, likelihood_weighting=likelihood_weighting,
+        grad_mask=grad_mask,
     )
     return jax.jit(step_fn)
 
@@ -149,7 +150,8 @@ def make_train_step(sde, model_apply_raw, model_cfg, optimizer,
 def make_sharded_train_step(mesh, sde, model_apply_raw, model_cfg, optimizer,
                             data_axis: str = "data",
                             reduce_mean=False, compute_dtype: str = "fp32",
-                            continuous=True, likelihood_weighting=False):
+                            continuous=True, likelihood_weighting=False,
+                            grad_mask=None):
     """The multi-chip train step: batch sharded over `data_axis`. The state
     in_sharding is left unpinned (None), so weights follow wherever the
     caller placed them — replicated by default, or TP-sharded by
@@ -162,6 +164,7 @@ def make_sharded_train_step(mesh, sde, model_apply_raw, model_cfg, optimizer,
         sde, _bound_apply(model_apply_raw, model_cfg, compute_dtype),
         optimizer, train=True, reduce_mean=reduce_mean,
         continuous=continuous, likelihood_weighting=likelihood_weighting,
+        grad_mask=grad_mask,
     )
     batch_sharding = NamedSharding(mesh, P(data_axis))
     jitted = jax.jit(
@@ -187,12 +190,25 @@ def train_loop(
     writer=None,
     logger=None,
     mesh=None,
+    post_init_fn=None,
+    freeze_fn=None,
+    condition_data=None,
 ):
     """The epoch loop (train_pose_mini.py:330-398).
 
     `dataset` supplies db_3d [N, j, 3] (+db_2d); batches are shuffled slices
     of the in-memory array (the reference's DataLoader over a fully-in-memory
     dataset, minus worker processes).
+
+    post_init_fn(params) -> params runs after the fine-tune merge — e.g.
+    control_mlp.init_control_params, the ControlNet init_weight that copies
+    the (possibly fine-tuned) trunk into the control branch
+    (control_model.py:235-261).
+    freeze_fn(params) -> bool pytree marks trainable leaves; False leaves
+    never move (the reference's freeze(), control_model.py:224-232).
+    condition_data: optional [N, j, c] array aligned with db_3d, fed
+    per-batch as the model condition (conditional-prior training; the
+    reference always zeroes it, train_pose_mini.py:344).
     """
     log = logger.info if logger else print
     os.makedirs(output_dir, exist_ok=True)
@@ -208,6 +224,14 @@ def train_loop(
     if fine_tune_params is not None:
         # strict=False semantics: take matching leaves from the checkpoint
         params = ckpt_lib._merge(params, fine_tune_params)
+    if post_init_fn is not None:
+        params = post_init_fn(params)
+    grad_mask = freeze_fn(params) if freeze_fn is not None else None
+    if grad_mask is not None:
+        n_train = sum(bool(m) for m in jax.tree.leaves(grad_mask))
+        n_all = len(jax.tree.leaves(grad_mask))
+        log(f"freeze: {n_all - n_train}/{n_all} param leaves frozen "
+            f"({n_train} trainable)")
 
     optimizer = losses_lib.get_optimizer(config)
     if mesh is not None:
@@ -275,6 +299,7 @@ def train_loop(
             compute_dtype=trainer_cfg.compute_dtype,
             continuous=config.training.continuous,
             likelihood_weighting=config.training.likelihood_weighting,
+            grad_mask=grad_mask,
         )
     else:
         train_step = make_train_step(
@@ -283,6 +308,7 @@ def train_loop(
             continuous=config.training.continuous,
             likelihood_weighting=config.training.likelihood_weighting,
             compute_dtype=trainer_cfg.compute_dtype,
+            grad_mask=grad_mask,
         )
         batch_sharding = None
 
@@ -300,6 +326,9 @@ def train_loop(
 
     data_3d = np.asarray(dataset.db_3d, np.float32) * trainer_cfg.data_scale
     n = len(data_3d)
+    if condition_data is not None:
+        condition_data = np.asarray(condition_data, np.float32)
+        assert len(condition_data) == n, (len(condition_data), n)
     batch_size = min(config.training.batch_size, n)
     if mesh is not None:
         # the batch is device_put to P('data'): keep it divisible by the
@@ -422,9 +451,13 @@ def train_loop(
                 continue  # trained before preemption; split keeps RNG aligned
             idx = perm[i * batch_size : (i + 1) * batch_size]
             batch = jnp.asarray(data_3d[idx])
+            cond = (jnp.asarray(condition_data[idx])
+                    if condition_data is not None else None)
             if batch_sharding is not None:
                 batch = jax.device_put(batch, batch_sharding)
-            state, loss = train_step(state, step_key, batch, None, None)
+                if cond is not None:
+                    cond = jax.device_put(cond, batch_sharding)
+            state, loss = train_step(state, step_key, batch, cond, None)
             loss = float(loss)
             meter.update(loss)
             global_step += 1
@@ -440,9 +473,14 @@ def train_loop(
         if writer is not None:
             writer.add_scalar("Loss/train", meter.avg, epoch)
             # per-group LR scalar, as the reference logs each epoch
-            # (train_pose_mini.py:362, `opt_LR_{i+1}`; one param group here)
+            # (train_pose_mini.py:362, `opt_LR_{i+1}`; one param group here).
+            # The reference displays the LR its LAST optimize call used,
+            # which was computed from the pre-increment step counter
+            # (losses.py:199 optimize_fn(step=state['step']) before
+            # state['step'] += 1) — i.e. schedule(N-1) after N steps
             writer.add_scalar(
-                "opt_LR_1", float(lr_schedule_fn(global_step)), epoch)
+                "opt_LR_1", float(lr_schedule_fn(max(global_step - 1, 0))),
+                epoch)
         history.append(meter.avg)
 
         if epoch % trainer_cfg.eval_freq == 0:
