@@ -60,3 +60,56 @@ def test_estimator_predict(tmp_path, rng, monkeypatch):
     out3 = est.predict(kp, k)
     assert out3["poses"].shape == (n, 2, 17, 3)
     assert _pipeline._solve_jitted._cache_size() == cache_before + 1
+
+
+def test_estimator_predict_on_mesh(tmp_path, rng):
+    """Multi-chip serving: mesh='auto' shards the padded batch over the
+    8-device mesh (solve_sharded) and reproduces the single-program result."""
+    from zedo_tpu.serving import ZeDOEstimator
+
+    tm = TorchScoreMLP()
+    sd = {"module." + k: v for k, v in tm.state_dict().items()}
+    torch.save({"epoch": 1, "model_state_dict": sd, "step": 1},
+               tmp_path / "ckpt.pth")
+    np.save(tmp_path / "clusters.npy", rng.randn(2, 17, 3).astype(np.float32) * 0.2)
+    cfg_file = tmp_path / "cfg.py"
+    cfg_file.write_text(
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from configs.optim.concat_pose_optimization_h36m import get_config as _b\n"
+        "def get_config():\n"
+        "    c = _b(); c.ZeDO.IPO_iterations = 10; c.ZeDO.OIL_iterations = 8\n"
+        "    return c\n"
+    )
+
+    def build(mesh):
+        return ZeDOEstimator.from_torch_checkpoint(
+            str(tmp_path / "ckpt.pth"), str(tmp_path / "clusters.npy"),
+            config_path=str(cfg_file), hypo=2, dtype="fp32", batch_bucket=16,
+            mesh=mesh,
+        )
+
+    n = 10
+    k = np.zeros((n, 3, 3), np.float32)
+    k[:, 0, 0] = k[:, 1, 1] = 1000
+    k[:, 0, 2] = k[:, 1, 2] = 500
+    k[:, 2, 2] = 1
+    kp = rng.rand(n, 17, 2).astype(np.float32) * 200 + 400
+
+    est_mesh = build("auto")
+    assert est_mesh.mesh is not None and est_mesh.mesh.devices.size == 8
+    out_mesh = est_mesh.predict(kp, k)
+    out_single = build(None).predict(kp, k)
+    assert out_mesh["poses"].shape == (n, 2, 17, 3)
+    np.testing.assert_allclose(out_mesh["poses"], out_single["poses"],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(out_mesh["best"], out_single["best"])
+
+    # bucket/mesh divisibility is validated at load time
+    import pytest
+
+    with pytest.raises(ValueError):
+        build_bad = ZeDOEstimator.from_torch_checkpoint(
+            str(tmp_path / "ckpt.pth"), str(tmp_path / "clusters.npy"),
+            config_path=str(cfg_file), hypo=2, dtype="fp32", batch_bucket=12,
+            mesh="auto",
+        )

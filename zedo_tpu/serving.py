@@ -38,6 +38,11 @@ class ZeDOEstimator:
     precision: object
     batch_bucket: int = 256  # pad N up to a multiple to bound recompiles
     seed: int = 0
+    # jax.sharding.Mesh for multi-chip serving: the padded batch is sharded
+    # over the mesh's 'data' axis (pipeline.solve_sharded — collective-free,
+    # so request latency is flat and throughput scales with chips). None =
+    # single-program
+    mesh: object = None
 
     @classmethod
     def from_torch_checkpoint(
@@ -49,7 +54,11 @@ class ZeDOEstimator:
         dtype: str = "bf16",
         use_ema: bool = False,
         batch_bucket: int = 256,
+        mesh: object = None,
     ) -> "ZeDOEstimator":
+        """mesh: a jax.sharding.Mesh with a 'data' axis, or 'auto' (build a
+        data mesh over all devices when >1), or None (single-program). The
+        batch bucket must be divisible by the data-axis size."""
         from zedo_tpu.utils.config import enable_compilation_cache
 
         enable_compilation_cache()
@@ -87,9 +96,19 @@ class ZeDOEstimator:
             lambda x: x, config.ZeDO.sampling_eps,
         )
         zcfg = pipeline.ZeDOConfig.from_config(config)
+        if mesh == "auto":
+            from zedo_tpu.parallel.mesh import mesh_from_spec
+
+            mesh = mesh_from_spec("auto")
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if batch_bucket % n_data:
+                raise ValueError(
+                    f"batch_bucket {batch_bucket} must be divisible by the "
+                    f"mesh data-axis size {n_data}")
         return cls(params=params, model_cfg=model_cfg, sde=sde, sampler=sampler,
                    zcfg=zcfg, clusters=clusters, precision=precision,
-                   batch_bucket=batch_bucket)
+                   batch_bucket=batch_bucket, mesh=mesh)
 
     def predict(self, keypoints_2d: np.ndarray, k: np.ndarray,
                 confidence: Optional[np.ndarray] = None):
@@ -110,13 +129,22 @@ class ZeDOEstimator:
              "conf": None if confidence is None else np.asarray(confidence, np.float32)},
             self.batch_bucket,
         )
-        result = pipeline.solve_jit(
-            self.params, self.model_cfg, self.sde, self.sampler, self.zcfg,
-            jnp.asarray(self.clusters), jnp.asarray(padded["kp"]),
-            None if padded["conf"] is None else jnp.asarray(padded["conf"]),
-            jnp.asarray(padded["k"]),
-            rng=jax.random.PRNGKey(self.seed), precision=self.precision,
-        )
+        conf_arr = (None if padded["conf"] is None
+                    else jnp.asarray(padded["conf"]))
+        if self.mesh is not None:
+            result = pipeline.solve_sharded(
+                self.mesh, self.params, self.model_cfg, self.sde, self.sampler,
+                self.zcfg, jnp.asarray(self.clusters), jnp.asarray(padded["kp"]),
+                conf_arr, jnp.asarray(padded["k"]),
+                rng=jax.random.PRNGKey(self.seed), precision=self.precision,
+            )
+        else:
+            result = pipeline.solve_jit(
+                self.params, self.model_cfg, self.sde, self.sampler, self.zcfg,
+                jnp.asarray(self.clusters), jnp.asarray(padded["kp"]),
+                conf_arr, jnp.asarray(padded["k"]),
+                rng=jax.random.PRNGKey(self.seed), precision=self.precision,
+            )
         poses = unpad(np.asarray(result.poses), mask)
         trans = unpad(np.asarray(result.translations), mask)
 
