@@ -1235,3 +1235,52 @@ def test_train_cli_cond_model(tmp_path, rng, monkeypatch):
     assert "EPOCH: [0/1]" in text
     restored = restore_native(os.path.join(run_dirs[0], "checkpoint_0"))
     assert "cond_embed" in restored["params"]  # the conditional net trained
+
+
+def test_trainer_resume_on_mesh(tmp_path, rng):
+    """--restore_dir under --mesh: restored arrays are re-placed with the
+    mesh shardings (otherwise the sharded step mixes device assignments),
+    and the resumed run is bit-identical to an uninterrupted mesh run."""
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.parallel.mesh import mesh_from_spec
+    from zedo_tpu.train import trainer
+
+    config = mini_cfg.get_config()
+    config.training.batch_size = 16
+    config.model.num_scales = 100
+
+    class FakeDS:
+        db_3d = rng.randn(64, 17, 3).astype(np.float32) * 0.1
+        db_2d = np.zeros((64, 17, 2), np.float32)
+
+    model_cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional", num_scales=100,
+    )
+    mesh = mesh_from_spec("dp")
+    s1, _, _ = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "a"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=3, eval_freq=2, seed=0),
+        mesh=mesh,
+    )
+    s2, h2, _ = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "b"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=3, eval_freq=10, seed=0),
+        restore_dir=str(tmp_path / "a" / "checkpoint_2"), mesh=mesh,
+    )
+    assert len(h2) == 0  # checkpoint_2 records epoch 3 -> nothing left
+    s3, h3, _ = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "c"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=5, eval_freq=10, seed=0),
+        restore_dir=str(tmp_path / "a" / "checkpoint_2"), mesh=mesh,
+    )
+    assert len(h3) == 2 and int(s3.step) == int(s1.step) + 2 * 4
+    s_full, _, _ = trainer.train_loop(
+        config, FakeDS(), output_dir=str(tmp_path / "d"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=5, eval_freq=10, seed=0),
+        mesh=mesh,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s3.params["pre_dense"]["weight"]),
+        np.asarray(s_full.params["pre_dense"]["weight"]))

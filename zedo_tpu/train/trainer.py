@@ -273,7 +273,7 @@ def train_loop(
             "step": state.step,
         }
         restored = ckpt_lib.restore_native(restore_dir, item=template)
-        state = losses_lib.TrainState(
+        new_state = losses_lib.TrainState(
             step=jnp.asarray(restored["step"]),
             params=restored["params"],
             opt_state=restored["opt_state"],
@@ -283,6 +283,13 @@ def train_loop(
                 shadow_params=restored["ema"]["shadow_params"],
             ),
         )
+        if mesh is not None:
+            # the restored arrays land on the default device; re-place them
+            # with the freshly-initialized state's shardings (replicated or
+            # tp) or the sharded train step would mix device assignments
+            new_state = jax.device_put(
+                new_state, jax.tree.map(lambda x: x.sharding, state))
+        state = new_state
         start_epoch = int(restored["epoch"])
         log(f"resumed from {restore_dir} at epoch {start_epoch}, step {int(state.step)}")
 
