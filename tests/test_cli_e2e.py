@@ -935,6 +935,14 @@ def test_mesh_from_spec():
         mesh_from_spec("dp16")  # more devices than exist
     with pytest.raises(ValueError):
         mesh_from_spec("bogus")
+    # degenerate sizes are rejected up front, not as downstream
+    # ZeroDivisionErrors (package review r4)
+    with pytest.raises(ValueError):
+        mesh_from_spec("dp0")
+    with pytest.raises(ValueError):
+        mesh_from_spec("dp,tp0")
+    with pytest.raises(ValueError):
+        mesh_from_spec("dp2,tp0")
 
 
 def test_train_loop_mesh_matches_single_device(tmp_path, rng):
@@ -995,15 +1003,7 @@ def test_train_cli_mesh_engaged(tmp_path, rng, monkeypatch):
     import zedo_tpu.run.train_pose_mini as train_cli
 
     monkeypatch.chdir(tmp_path)
-    os.makedirs("data/mini-rgbd")
-    d = {"train": {}, "validate": {}}
-    for split, seq, count in [("train", "01", 16), ("validate", "11", 4)]:
-        for i in range(count):
-            d[split][f"{seq}_f{i}.txt"] = {
-                "pose_2d": rng.rand(25, 2).astype(np.float32) * 400 + 100,
-                "pose_3d": rng.randn(25, 3).astype(np.float32) * 0.1,
-            }
-    np.save("data/mini-rgbd/MINI-RGBD.npy", d)
+    _mini_fixture(rng, n_train=16, n_val=4)
 
     def run(mesh_spec, tag):
         config = mini_cfg.get_config()

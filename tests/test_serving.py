@@ -95,6 +95,10 @@ def test_estimator_predict_on_mesh(tmp_path, rng):
     k[:, 2, 2] = 1
     kp = rng.rand(n, 17, 2).astype(np.float32) * 200 + 400
 
+    # any mesh_from_spec string works, not just the 'auto' literal
+    assert build("dp4").mesh.devices.size == 4
+    assert build("off").mesh is None
+
     est_mesh = build("auto")
     assert est_mesh.mesh is not None and est_mesh.mesh.devices.size == 8
     out_mesh = est_mesh.predict(kp, k)

@@ -66,10 +66,11 @@ def mesh_from_spec(spec: Optional[str], devices=None) -> Optional[Mesh]:
         if len(devices) <= 1:
             return None
         return Mesh(np.array(devices), ("data",))
-    m = re.fullmatch(r"dp(\d+)?(?:,tp(\d+))?", spec)
+    m = re.fullmatch(r"dp([1-9]\d*)?(?:,tp([1-9]\d*))?", spec)
     if not m:
         raise ValueError(
-            f"bad --mesh spec {spec!r}: expected auto|off|dp[N][,tpM]")
+            f"bad --mesh spec {spec!r}: expected auto|off|dp[N][,tpM] "
+            f"with N, M >= 1")
     tp = int(m.group(2) or 1)
     dp = int(m.group(1)) if m.group(1) else max(1, len(devices) // tp)
     need = dp * tp

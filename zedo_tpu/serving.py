@@ -96,11 +96,15 @@ class ZeDOEstimator:
             lambda x: x, config.ZeDO.sampling_eps,
         )
         zcfg = pipeline.ZeDOConfig.from_config(config)
-        if mesh == "auto":
+        if isinstance(mesh, str):
+            # any mesh_from_spec string works ('auto', 'off', 'dp4', ...)
             from zedo_tpu.parallel.mesh import mesh_from_spec
 
-            mesh = mesh_from_spec("auto")
+            mesh = mesh_from_spec(mesh)
         if mesh is not None:
+            if "data" not in mesh.axis_names:
+                raise ValueError(
+                    f"serving mesh needs a 'data' axis, got {mesh.axis_names}")
             n_data = mesh.shape["data"]
             if batch_bucket % n_data:
                 raise ValueError(
@@ -129,22 +133,17 @@ class ZeDOEstimator:
              "conf": None if confidence is None else np.asarray(confidence, np.float32)},
             self.batch_bucket,
         )
-        conf_arr = (None if padded["conf"] is None
-                    else jnp.asarray(padded["conf"]))
+        common = (
+            self.params, self.model_cfg, self.sde, self.sampler, self.zcfg,
+            jnp.asarray(self.clusters), jnp.asarray(padded["kp"]),
+            None if padded["conf"] is None else jnp.asarray(padded["conf"]),
+            jnp.asarray(padded["k"]),
+        )
+        kwargs = dict(rng=jax.random.PRNGKey(self.seed), precision=self.precision)
         if self.mesh is not None:
-            result = pipeline.solve_sharded(
-                self.mesh, self.params, self.model_cfg, self.sde, self.sampler,
-                self.zcfg, jnp.asarray(self.clusters), jnp.asarray(padded["kp"]),
-                conf_arr, jnp.asarray(padded["k"]),
-                rng=jax.random.PRNGKey(self.seed), precision=self.precision,
-            )
+            result = pipeline.solve_sharded(self.mesh, *common, **kwargs)
         else:
-            result = pipeline.solve_jit(
-                self.params, self.model_cfg, self.sde, self.sampler, self.zcfg,
-                jnp.asarray(self.clusters), jnp.asarray(padded["kp"]),
-                conf_arr, jnp.asarray(padded["k"]),
-                rng=jax.random.PRNGKey(self.seed), precision=self.precision,
-            )
+            result = pipeline.solve_jit(*common, **kwargs)
         poses = unpad(np.asarray(result.poses), mask)
         trans = unpad(np.asarray(result.translations), mask)
 
