@@ -147,7 +147,10 @@ def make_pair(embedding_type="positional", scale_by_sigma=False,
         n_blocks=n_blocks, embedding_type=embedding_type,
         scale_by_sigma=scale_by_sigma,
     )
-    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    # .copy(): .numpy() returns a VIEW of the torch storage — a test that
+    # later trains tmodel in place (the trajectory-parity test) would
+    # silently mutate the "initial" jax params before jnp materializes them
+    sd = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
     params = ckpt_lib.params_from_torch_state_dict(sd, cfg)
     return tmodel, cfg, params
 
@@ -1174,3 +1177,98 @@ def test_end_to_end_solve_metric_parity(rng):
     mpjpe_ref = np.linalg.norm(want - pose_gt, axis=-1).mean()
     mpjpe_got = np.linalg.norm(got - pose_gt, axis=-1).mean()
     assert abs(mpjpe_ref - mpjpe_got) < 1e-4  # 0.1mm in meters
+
+# ------------------------------------------------ full train-step trajectory
+def test_train_step_trajectory_parity(rng, monkeypatch):
+    """K full training steps through the reference's REAL train path —
+    losses.get_step_fn(train=True) + optimization_manager (warmup + clip,
+    losses.py:39-53,199) + torch Adam + ExponentialMovingAverage — vs
+    trainer.make_train_step's optax chain, from identical weights with
+    identical injected (t, z) draws and dropout disabled. Pins the whole
+    optimizer stack: warmup indexed from the PRE-increment step counter
+    (first step at lr=0), global-norm clipping, Adam bias correction, and
+    the EMA warmup decay, at the parameter level after every K steps."""
+    import dataclasses as _dc
+
+    from zedo_tpu.diffusion import losses as losses_lib
+    from zedo_tpu.train import trainer as trainer_lib
+
+    R = ref()
+    import lib.algorithms.advanced.losses as ref_losses
+
+    tmodel, cfg0, params = make_pair(hidden=128, embed=64)
+    cfg = _dc.replace(cfg0, dropout=0.0)
+
+    B, K, eps = 8, 5, 1e-5
+    batch = rng.randn(B, 17, 3).astype(np.float32) * 0.3
+    t_fix = rng.rand(B).astype(np.float32) * (0.1 - eps) + eps
+    z_fix = rng.randn(B, 17, 3).astype(np.float32)
+
+    # lr 2e-3: large enough that warmup/clip/Adam all act, small enough
+    # that the comparison pins semantics rather than chaotic amplification
+    # (at lr=1e-2 the loss halves within 5 steps and single weights diverge
+    # ~1e-3 from f32 reassociation alone)
+    oconf = ml_collections.ConfigDict()
+    oconf.optim = ml_collections.ConfigDict(dict(
+        optimizer="Adam", lr=2e-3, beta1=0.9, eps=1e-8, warmup=3,
+        grad_clip=0.5, weight_decay=0))
+    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+    jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+
+    # --- reference side (real torch train path)
+    topt = ref_losses.get_optimizer(oconf, tmodel.parameters())
+    tema = R.ema.ExponentialMovingAverage(
+        [p for p in tmodel.parameters() if p.requires_grad], decay=0.9999)
+    tstep = ref_losses.get_step_fn(
+        tsde, train=True, optimize_fn=ref_losses.optimization_manager(oconf),
+        reduce_mean=True, continuous=True)
+    tstate = dict(model=tmodel, optimizer=topt, ema=tema, step=0)
+    monkeypatch.setattr(
+        torch, "rand", lambda *a, **k: torch.tensor((t_fix - eps) / (0.1 - eps)))
+    monkeypatch.setattr(torch, "randn_like", lambda x: torch.tensor(z_fix))
+    # train-mode forward must be deterministic for a trajectory comparison
+    # (the reference hard-codes Dropout(0.25), model.py:117)
+    monkeypatch.setattr(torch.nn.functional, "dropout", lambda x, *a, **k: x)
+    for _ in range(K):
+        tstep(tstate, torch.tensor(batch), None, None)
+    assert tstate["step"] == K
+
+    # --- jax side (the shipped optax chain), same injected draws
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shape: jnp.asarray((t_fix - eps) / (0.1 - eps)))
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape, dtype=jnp.float32: jnp.asarray(z_fix))
+    optimizer = losses_lib.get_optimizer(oconf)
+    jstep = trainer_lib.make_train_step(jsde, score_mlp.apply, cfg, optimizer,
+                                        reduce_mean=True)
+    state = losses_lib.init_train_state(params, optimizer, 0.9999)
+    key = jax.random.PRNGKey(0)
+    for _ in range(K):
+        key, sk = jax.random.split(key)
+        state, _ = jstep(state, sk, jnp.asarray(batch), None, None)
+    assert int(state.step) == K
+
+    # parameters agree leaf-for-leaf after the full K-step trajectory
+    # (tolerance: ~1e-4 abs observed at K=5 — once the loss is descending,
+    # f32 reassociation differences between torch and XLA compound through
+    # the gradients; the first two steps agree to 2e-6)
+    def assert_trees_close(got_tree, want_tree, label):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=2e-3,
+                err_msg=label),
+            {k: v for k, v in got_tree.items() if k != "sigmas"},
+            {k: v for k, v in want_tree.items() if k != "sigmas"},
+        )  # sigmas: buffer, not trained on either side
+
+    want = ckpt_lib.params_from_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}, cfg)
+    assert_trees_close(state.params, want, "params")
+
+    # EMA shadows agree too (reference: copy_to materializes the shadow)
+    tema.copy_to(tmodel.parameters())
+    want_ema = ckpt_lib.params_from_torch_state_dict(
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}, cfg)
+    assert_trees_close(ema_lib.params_of(state.ema), want_ema, "ema")
