@@ -1284,3 +1284,72 @@ def test_trainer_resume_on_mesh(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(s3.params["pre_dense"]["weight"]),
         np.asarray(s_full.params["pre_dense"]["weight"]))
+
+
+def test_infant_cli_cond_condition_injected(tmp_path, rng, monkeypatch, capsys):
+    """--cond: the conditional model receives the REAL ±1-normalized 2D
+    keypoints at every score evaluation (condition=None would re-express
+    inside apply to cond = batch.xy, the 'strong fake condition' the
+    model's docstring warns about — package review r4)."""
+    import types as _types
+
+    import jax
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    import zedo_tpu.run.opt_main_infant as infant_cli
+    from zedo_tpu.models import score_mlp_cond
+    from zedo_tpu.models.registry import make_mlp_config
+    from zedo_tpu.utils.checkpoint import tree_to_flat
+
+    monkeypatch.chdir(tmp_path)
+    _mini_fixture(rng, n_train=6, n_val=5)
+    np.save("mini_cluster_1.npy", rng.randn(1, 25, 3).astype(np.float32) * 0.1)
+
+    config = mini_cfg.get_config()
+    config.ZeDO.OIL_iterations = 4
+    config.ZeDO.IPO_iterations = 4
+
+    # conditional-model checkpoint in .pth form (keys map 1:1)
+    cfg_full = make_mlp_config(config, n_joints=17, joint_dim=3,
+                               hidden_dim=1024, embed_dim=512)
+    cond_params = score_mlp_cond.init_params(jax.random.PRNGKey(0), cfg_full)
+    os.makedirs("checkpoint")
+    sd = {"module." + k: torch.tensor(np.asarray(v, np.float32))
+          for k, v in tree_to_flat(cond_params).items()}
+    torch.save({"model_state_dict": sd, "step": 1, "epoch": 1},
+               "checkpoint/infant_cond.pth")
+
+    seen = []
+    orig_apply = score_mlp_cond.apply
+
+    def recording_apply(p, cfg, x, labels, condition=None, mask=None, **kw):
+        seen.append(condition)
+        return orig_apply(p, cfg, x, labels, condition, mask, **kw)
+
+    monkeypatch.setattr(score_mlp_cond, "apply", recording_apply)
+    monkeypatch.setattr(infant_cli, "FLAGS",
+                        _types.SimpleNamespace(config=config))
+    args = _types.SimpleNamespace(
+        ckpt_dir="checkpoint", ckpt_name="infant_cond.pth", gt=True, hypo=1,
+        control=False, cond=True, dtype="fp32", seed=0,
+        cluster_path=None, save="cond_results.npy", override=[],
+    )
+    infant_cli.main(args)
+    out = np.load("cond_results.npy")
+    assert out.shape == (5, 1, 17, 3) and np.isfinite(out).all()
+
+    assert seen, "conditional model never invoked"
+    assert all(c is not None for c in seen), (
+        "conditional model was scored with condition=None at inference")
+    # the injected condition is the normalized 2D of the eval scene
+    # (closed-over constant, so it reaches apply concretely even under jit)
+    for c in seen:
+        assert tuple(c.shape) == (5, 17, 2), c.shape
+    try:
+        got = np.asarray(seen[0])
+    except Exception:
+        got = None  # traced abstract value: shape/None checks above suffice
+    if got is not None:
+        # reconstruct the expected condition from the fixture pipeline:
+        # main built cond2d from the dataset's gt 2D — compare against the
+        # recorded values' range (normalized frame is within ~[-1, 1])
+        assert np.all(np.abs(got) <= 1.5)

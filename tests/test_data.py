@@ -512,3 +512,77 @@ def test_mpii3dhp_detected_2d_branch(tmp_path, rng):
     # arrays() hands the solver aligned tensors
     cond, conf, k = ds.arrays()
     assert len(cond) == len(k) == expected_n
+
+
+def test_augment_batch_semantics(rng):
+    """Vectorized batch augs match __getitem__'s per-item semantics: flips
+    negate x and swap left/right on ~half the rows, rotations preserve
+    joint norms, and non-train subsets pass through untouched."""
+    from zedo_tpu.data.base import PoseDataset
+
+    class DS(PoseDataset):
+        def read_data(self):
+            self.db_2d = np.zeros((64, 17, 2), np.float32)
+            self.db_3d = _rng_box["x"]
+            self.camera_param = None
+
+    _rng_box = {"x": rng.randn(64, 17, 3).astype(np.float32)}
+
+    ds = DS(subset="train", flip=True, rot=False)
+    x = _rng_box["x"]
+    out = ds.augment_batch(x, np.random.RandomState(0))
+    flipped_ref = x.copy()
+    flipped_ref[:, :, 0] *= -1
+    flipped_ref[:, ds.left_joints + ds.right_joints] = flipped_ref[
+        :, ds.right_joints + ds.left_joints]
+    is_orig = np.all(np.isclose(out, x), axis=(1, 2))
+    is_flip = np.all(np.isclose(out, flipped_ref), axis=(1, 2))
+    assert np.all(is_orig | is_flip)
+    assert 8 < is_flip.sum() < 56  # ~p=0.5 per row
+
+    ds_rot = DS(subset="train", flip=False, rot=True)
+    out_r = ds_rot.augment_batch(x, np.random.RandomState(1))
+    np.testing.assert_allclose(  # rotations preserve per-joint norms
+        np.linalg.norm(out_r, axis=-1), np.linalg.norm(x, axis=-1),
+        rtol=1e-5, atol=1e-5)
+    assert not np.allclose(out_r, x)  # and some rows actually rotated
+
+    ds_test = DS(subset="test", flip=True, rot=True)
+    np.testing.assert_array_equal(
+        ds_test.augment_batch(x, np.random.RandomState(2)), x)
+
+    ds_off = DS(subset="train", flip=False, rot=False)
+    np.testing.assert_array_equal(
+        ds_off.augment_batch(x, np.random.RandomState(3)), x)
+
+
+def test_train_loop_applies_batch_augs(tmp_path, rng):
+    """--rotflip reaches the batches: train_loop's array-slicing path calls
+    dataset.augment_batch every step (it used to be silently inert —
+    package review r4)."""
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.data.base import PoseDataset
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.train import trainer
+
+    class DS(PoseDataset):
+        def read_data(self):
+            self.db_2d = np.zeros((32, 17, 2), np.float32)
+            self.db_3d = rng.randn(32, 17, 3).astype(np.float32) * 0.1
+            self.camera_param = None
+
+    ds = DS(subset="train", flip=True, rot=True)
+    calls = []
+    orig = ds.augment_batch
+    ds.augment_batch = lambda b, r: calls.append(len(b)) or orig(b, r)
+
+    config = mini_cfg.get_config()
+    config.training.batch_size = 16
+    config.model.num_scales = 20
+    model_cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=32, embed_dim=16, n_blocks=1,
+        embedding_type="positional", num_scales=20)
+    trainer.train_loop(
+        config, ds, output_dir=str(tmp_path / "o"), model_cfg=model_cfg,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=2, eval_freq=100, seed=0))
+    assert calls == [16, 16, 16, 16]  # 2 epochs x 2 steps, every batch

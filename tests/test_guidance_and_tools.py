@@ -221,3 +221,43 @@ def test_symmetry_guidance_rejects_non_h36m_skeleton(rng):
         symmetry_loss(x12)
     with pytest.raises(ValueError, match="17-joint"):
         get_sym_gradient_fn()(x12, None)
+
+
+def test_sample_loop_rejects_scalar_guidance(rng):
+    """Wiring a loss-returning callable (the reference-parity
+    get_sym_grad_fn mirrors the reference's loss-not-gradient quirk,
+    sampling.py:395) as sample_loop guidance fails loudly at trace time
+    instead of silently broadcasting `x - scalar` (package review r4)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from zedo_tpu.diffusion import guidance
+    from zedo_tpu.diffusion.sampling import PCSampler
+    from zedo_tpu.diffusion.score import get_score_fn
+    from zedo_tpu.diffusion.sde import SubVPSDE
+    from zedo_tpu.models import score_mlp
+
+    cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=32, embed_dim=16, n_blocks=1,
+        embedding_type="positional", num_scales=5)
+    params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    sde = SubVPSDE(n=5, t_max=1.0)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=True, denoise=True)
+
+    def model_fn(x, labels, cond, msk):
+        return score_mlp.apply(params, cfg, x, labels, cond, msk)
+
+    score_fn = get_score_fn(sde, model_fn, continuous=True)
+    with pytest.raises(AssertionError, match="per-coordinate gradient"):
+        sampler.sample_loop(
+            score_fn, jax.random.PRNGKey(1), (4, 17, 3),
+            guidance_fn=guidance.get_sym_grad_fn(),
+        )
+    # the gradient variant passes the same gate
+    out = sampler.sample_loop(
+        score_fn, jax.random.PRNGKey(1), (4, 17, 3),
+        guidance_fn=guidance.get_sym_gradient_fn(0.01),
+    )
+    assert np.isfinite(np.asarray(out)).all()

@@ -216,6 +216,33 @@ class PoseDataset:
             data = ScipyRotation.random(random_state=self.rng).as_matrix().dot(data.T).T
         return data
 
+    def augment_batch(self, batch_3d: np.ndarray,
+                      rng: np.random.RandomState) -> np.ndarray:
+        """Vectorized train-time flip/rotate augs for a [B, j, 3] batch —
+        the array-slicing trainer path's equivalent of __getitem__'s
+        per-item `_random_flip`/`_random_rotate` (without this, --rotflip
+        would be silently inert in train_loop — package review r4). Same
+        semantics: independent p=0.5 per row for each aug. Linear ops, so
+        applying them to data_scale-scaled poses is equivalent."""
+        if self.subset != "train" or not (self.flip or self.rot):
+            return batch_3d
+        out = np.asarray(batch_3d).copy()
+        n = len(out)
+        if self.flip:
+            do = rng.rand(n) < 0.5
+            flipped = out.copy()
+            flipped[:, :, 0] *= -1
+            flipped[:, self.left_joints + self.right_joints] = flipped[
+                :, self.right_joints + self.left_joints
+            ]
+            out = np.where(do[:, None, None], flipped, out)
+        if self.rot:
+            do = rng.rand(n) < 0.5
+            mats = ScipyRotation.random(n, random_state=rng).as_matrix()
+            rotated = np.einsum("nij,nkj->nki", mats.astype(out.dtype), out)
+            out = np.where(do[:, None, None], rotated, out)
+        return out.astype(batch_3d.dtype, copy=False)
+
     def add_noise(self, pose2d, std=5, noise_type="gaussian"):
         """Synthetic 2D noise (h36m.py:183-196)."""
         if noise_type == "gaussian":

@@ -38,3 +38,18 @@ class ConcatDataset:
                 return d[idx]
             idx -= n
         raise IndexError(idx)
+
+    def augment_batch(self, batch_3d, rng):
+        """Batch flip/rotate augs; valid because the concat use-case
+        (mini + syrip at one joint convention) shares the flip joint maps —
+        asserted, not assumed."""
+        d0 = self.datasets[0]
+        if not hasattr(d0, "augment_batch"):
+            return batch_3d
+        for d in self.datasets[1:]:
+            assert (d.left_joints == d0.left_joints
+                    and d.right_joints == d0.right_joints
+                    and d.flip == d0.flip and d.rot == d0.rot), (
+                "concat members disagree on flip/rot joint maps; "
+                "per-member batch augmentation is not supported")
+        return d0.augment_batch(batch_3d, rng)

@@ -80,11 +80,17 @@ class MPII3DHP(PoseDataset):
             labels_3d = np.concatenate(labels_3d_list).astype(np.float32)
             data_2d = np.concatenate(data_2d_list).astype(np.float32)
             # 16-joint detections -> 17-joint convention: slot 10 (head)
-            # zero-filled (the intent of mpii3dHP.py:340-346)
+            # zero-filled (the intent of mpii3dHP.py:340-346). The inserted
+            # joint carries confidence 0 via a third channel: without it the
+            # solver would treat pixel (0, 0) as a real observation with
+            # full weight, biasing the shared translation least-squares for
+            # all joints every OIL step (package review r4)
             if data_2d.shape[1] == 16:
-                d2 = np.zeros((data_2d.shape[0], 17, data_2d.shape[2]), np.float32)
-                d2[:, 0:10] = data_2d[:, 0:10]
-                d2[:, 11:] = data_2d[:, 10:]
+                d2 = np.zeros((data_2d.shape[0], 17, 3), np.float32)
+                d2[:, 0:10, :2] = data_2d[:, 0:10, :2]
+                d2[:, 11:, :2] = data_2d[:, 10:, :2]
+                d2[:, :, 2] = 1.0
+                d2[:, 10, 2] = 0.0
                 data_2d = d2
             if labels_3d.shape[1] == 16:
                 l3 = np.zeros((labels_3d.shape[0], 17, 3), np.float32)

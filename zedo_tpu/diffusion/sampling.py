@@ -289,7 +289,17 @@ class PCSampler:
                 # x_mean values are dead work otherwise)
                 g_cond = (guidance_condition if guidance_condition is not None
                           else condition)
-                x = x - guidance_fn(x, vec_t, g_cond)
+                g = guidance_fn(x, vec_t, g_cond)
+                # shape contract: a scalar-returning objective (e.g. the
+                # reference-parity get_sym_grad_fn, which mirrors the
+                # reference's loss-not-gradient quirk, sampling.py:395)
+                # would silently broadcast `x - scalar` and destroy the
+                # sample; fail at trace time instead
+                assert g.shape == x.shape, (
+                    f"guidance_fn must return a per-coordinate gradient "
+                    f"shaped like x {x.shape}, got {g.shape} — pass a "
+                    f"gradient (e.g. get_sym_gradient_fn), not a loss")
+                x = x - g
             return (x, x_mean), (x if return_trajectory else None)
 
         (x, x_mean), trajs = jax.lax.scan(body, (x, x), (timesteps, step_idx))
@@ -297,7 +307,11 @@ class PCSampler:
             g_cond = (guidance_condition if guidance_condition is not None
                       else condition)
             last_t = jnp.full((shape[0],), timesteps[-1], x.dtype)
-            x_mean = x_mean - guidance_fn(x_mean, last_t, g_cond)
+            g_last = guidance_fn(x_mean, last_t, g_cond)
+            assert g_last.shape == x_mean.shape, (
+                f"guidance_fn must return a per-coordinate gradient shaped "
+                f"like x {x_mean.shape}, got {g_last.shape}")
+            x_mean = x_mean - g_last
         x_final = x_mean if self.denoise else x
         if return_trajectory:
             return trajs, x_final

@@ -113,7 +113,6 @@ def run_pipeline(config, args, dataset, logger_print=print):
     from zedo_tpu.diffusion.sde import build_sde
     from zedo_tpu.models.registry import make_mlp_config
     from zedo_tpu.parallel.mesh import default_mesh
-    from zedo_tpu.utils.checkpoint import load_torch_checkpoint, restore_native
     from zedo_tpu.zeroshot import pipeline
 
     sample_poses = load_clusters(args.cluster_dir, config.data.dataset, args.hypo)
@@ -122,21 +121,13 @@ def run_pipeline(config, args, dataset, logger_print=print):
         hidden_dim=HIDDEN_DIM, embed_dim=EMBED_DIM, cond_dim=CONDITION_DIM,
     )
 
+    from zedo_tpu.utils.checkpoint import load_any_checkpoint
+
     ckpt_path = os.path.join(args.ckpt_dir, args.ckpt_name)
     logger_print(f"loading model from {ckpt_path}")
-    if ckpt_path.endswith(".pth"):
-        ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
-    else:
-        raw = restore_native(ckpt_path)
-        ema = raw.get("ema") or {}
-        ckpt = {"params": raw["params"],
-                "ema_params": ema.get("shadow_params"),
-                "step": raw.get("step", 0)}
-    logger_print(f"=> loaded checkpoint '{ckpt_path}' (step {ckpt['step']})")
-    if args.ema and not ckpt.get("ema_params"):
-        logger_print("note: --ema requested but the checkpoint carries no "
-                     "EMA shadow params; using the raw weights")
-    params = ckpt["ema_params"] if (args.ema and ckpt["ema_params"]) else ckpt["params"]
+    params, step = load_any_checkpoint(ckpt_path, model_cfg,
+                                       use_ema=args.ema, log=logger_print)
+    logger_print(f"=> loaded checkpoint '{ckpt_path}' (step {step})")
     from zedo_tpu.utils.config import resolve_dtype
 
     dtype = resolve_dtype(args.dtype)

@@ -78,7 +78,6 @@ def main(args):
     from zedo_tpu.diffusion.sde import build_sde
     from zedo_tpu.models import control_mlp, score_mlp, score_mlp_cond
     from zedo_tpu.models.registry import make_mlp_config
-    from zedo_tpu.utils.checkpoint import load_torch_checkpoint
     from zedo_tpu.zeroshot import infant, pipeline
 
     config = FLAGS.config
@@ -99,11 +98,14 @@ def main(args):
     else:
         model_apply = score_mlp.apply
 
+    from zedo_tpu.utils.checkpoint import load_any_checkpoint
+
     ckpt_path = os.path.join(args.ckpt_dir, args.ckpt_name)
     print(f"loading model from {ckpt_path}")
-    ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
-    params = ckpt["params"]
-    print(f"=> loaded checkpoint '{ckpt_path}' (step {ckpt['step']})")
+    # .pth OR orbax-native (so adapters trained by run.train_pose_mini
+    # --model control/cond load directly without a conversion step)
+    params, step = load_any_checkpoint(ckpt_path, model_cfg)
+    print(f"=> loaded checkpoint '{ckpt_path}' (step {step})")
 
     sde = build_sde(
         config.training.sde,
@@ -165,6 +167,24 @@ def main(args):
 
     zcfg = dataclasses.replace(
         zcfg, oil=dataclasses.replace(zcfg.oil, track_reproj=True))
+
+    if args.cond:
+        # condition the conditional model on the ACTUAL normalized 2D
+        # keypoints at every OIL step (the evident intent of --cond — the
+        # reference's model_cond module is missing). Leaving condition=None
+        # would re-express inside apply to cond = batch.xy, the
+        # "strong fake condition" score_mlp_cond's docstring warns about;
+        # training (run.train_pose_mini --model cond) conditions on the
+        # same ±1 image-frame normalization (data/base.py normalize_data).
+        from zedo_tpu.data.base import normalize_data
+
+        cond_norm = jnp.asarray(
+            normalize_data(np.asarray(cond2d, np.float32)))
+        base_cond_apply = model_apply
+
+        def model_apply(p, cfg_m, x, labels, condition, mask, **kw):
+            cond = cond_norm if condition is None else condition
+            return base_cond_apply(p, cfg_m, x, labels, cond, mask, **kw)
 
     result = infant.solve_infant(
         params, model_apply, model_cfg, sde, sampler, zcfg,

@@ -74,7 +74,6 @@ def main(args):
     from zedo_tpu.diffusion.sde import build_sde
     from zedo_tpu.models import score_mlp
     from zedo_tpu.models.registry import make_mlp_config
-    from zedo_tpu.utils.checkpoint import load_torch_checkpoint, restore_native
 
     config = FLAGS.config
     from zedo_tpu.utils.config import apply_overrides
@@ -83,17 +82,10 @@ def main(args):
     n_joints = config.DATASET.get("NUM_JOINT", 17)
     model_cfg = make_mlp_config(config, n_joints=n_joints)
 
+    from zedo_tpu.utils.checkpoint import load_any_checkpoint
+
     ckpt_path = os.path.join(args.ckpt_dir, args.ckpt_name)
-    if ckpt_path.endswith(".pth"):
-        ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
-    else:
-        raw = restore_native(ckpt_path)
-        ckpt = {"params": raw["params"],
-                "ema_params": (raw.get("ema") or {}).get("shadow_params")}
-    if args.ema and not ckpt.get("ema_params"):
-        print("note: --ema requested but the checkpoint carries no EMA "
-              "shadow params; using the raw weights")
-    params = ckpt["ema_params"] if (args.ema and ckpt.get("ema_params")) else ckpt["params"]
+    params, _step = load_any_checkpoint(ckpt_path, model_cfg, use_ema=args.ema)
 
     sde = build_sde(
         config.training.sde,

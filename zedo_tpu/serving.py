@@ -68,13 +68,12 @@ class ZeDOEstimator:
         from zedo_tpu.diffusion.sampling import get_sampling_fn
         from zedo_tpu.diffusion.sde import build_sde
         from zedo_tpu.models.registry import make_mlp_config
-        from zedo_tpu.utils.checkpoint import convert_cluster_file, load_torch_checkpoint
+        from zedo_tpu.utils.checkpoint import convert_cluster_file, load_any_checkpoint
         from zedo_tpu.zeroshot import pipeline
 
         config = _load_config(config_path)
         model_cfg = make_mlp_config(config)
-        ckpt = load_torch_checkpoint(ckpt_path, model_cfg)
-        params = ckpt["ema_params"] if (use_ema and ckpt["ema_params"]) else ckpt["params"]
+        params, _step = load_any_checkpoint(ckpt_path, model_cfg, use_ema=use_ema)
         if dtype == "bf16":
             params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
             precision = None

@@ -83,7 +83,10 @@ class TrainerConfig:
     data_scale: float = 1.0
     sampling_eps: float = 1e-3
     seed: int = 42
-    zero_condition: bool = True  # reference trains unconditionally (data_2d*0)
+    # NOTE: condition handling is decided by train_loop's `condition_data`
+    # argument — None trains unconditionally (the reference's data_2d*0,
+    # train_pose_mini.py:344); an [N, j, c] array trains conditionally
+    # (run.train_pose_mini --model cond wires it)
     # extra overwrite-in-place checkpoint every k optimizer steps, for cloud
     # preemption recovery with --restore-dir (the reference carries the
     # config key `training.snapshot_freq_for_preemption` but never uses it,
@@ -332,6 +335,16 @@ def train_loop(
     )
 
     data_3d = np.asarray(dataset.db_3d, np.float32) * trainer_cfg.data_scale
+    # per-batch flip/rotate augs (the DataLoader-path augs the reference
+    # applies in __getitem__; the array-slicing loop must apply them itself)
+    def _wants_aug(ds):
+        if getattr(ds, "flip", False) or getattr(ds, "rot", False):
+            return True
+        return any(_wants_aug(m) for m in getattr(ds, "datasets", []))
+
+    augment = getattr(dataset, "augment_batch", None)
+    if augment is not None and not _wants_aug(dataset):
+        augment = None
     n = len(data_3d)
     if condition_data is not None:
         condition_data = np.asarray(condition_data, np.float32)
@@ -457,7 +470,14 @@ def train_loop(
             if epoch == start_epoch and i < resume_skip:
                 continue  # trained before preemption; split keeps RNG aligned
             idx = perm[i * batch_size : (i + 1) * batch_size]
-            batch = jnp.asarray(data_3d[idx])
+            batch_np = data_3d[idx]
+            if augment is not None:
+                # stateless per-step stream: resume-skip and eval epochs
+                # can't desynchronize the augmentation draws
+                batch_np = augment(
+                    batch_np,
+                    np.random.RandomState([trainer_cfg.seed, epoch, i]))
+            batch = jnp.asarray(batch_np)
             cond = (jnp.asarray(condition_data[idx])
                     if condition_data is not None else None)
             if batch_sharding is not None:

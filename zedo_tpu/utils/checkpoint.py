@@ -179,3 +179,29 @@ def restore_native(path: str, item=None) -> dict:
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(path, item=item)
+
+
+def load_any_checkpoint(path: str, cfg: ScoreMLPConfig, use_ema: bool = False,
+                        log=print):
+    """Reference `.pth` or orbax-native checkpoint -> (params, step).
+
+    Selects the EMA shadow weights when `use_ema` and the checkpoint
+    carries them, with a loud note otherwise (the reference loads EMA at
+    inference but never applies it, opt_main.py:135 — so raw weights are
+    the parity default and --ema is the opt-in). One shared implementation
+    for opt_main / opt_main_infant / sample / serving; the per-CLI copies
+    had already drifted (package review r4)."""
+    if path.endswith(".pth"):
+        ckpt = load_torch_checkpoint(path, cfg)
+    else:
+        raw = restore_native(path)
+        ckpt = {"params": raw["params"],
+                "ema_params": (raw.get("ema") or {}).get("shadow_params"),
+                "step": raw.get("step", 0)}
+    if use_ema and not ckpt.get("ema_params"):
+        log("note: --ema requested but the checkpoint carries no EMA "
+            "shadow params; using the raw weights")
+    params = (ckpt["ema_params"] if (use_ema and ckpt.get("ema_params"))
+              else ckpt["params"])
+    step = ckpt.get("step", 0)
+    return params, int(np.asarray(step)) if step is not None else 0

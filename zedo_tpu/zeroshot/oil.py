@@ -199,7 +199,12 @@ def run_oil(
         def reproj_fn(x, t_cur):
             return jnp.float32(0.0)
 
-    standard_model = model_apply is None or model_apply is score_mlp.apply
+    # scale_by_sigma models must take the generic path: apply_with_temb has
+    # no sigma division (the pallas kernel likewise), so the fast path would
+    # either crash (XLA branch, used_sigmas=None) or silently skip the
+    # output scaling (kernel branch). Shipped configs set it False.
+    standard_model = ((model_apply is None or model_apply is score_mlp.apply)
+                      and not model_cfg.scale_by_sigma)
     if standard_model and _fast_supported(sde, sampler):
         return _run_oil_fast(
             params, model_cfg, sde, geo, x0, t0, timestamps, cfg, precision,
