@@ -1340,16 +1340,19 @@ def test_infant_cli_cond_condition_injected(tmp_path, rng, monkeypatch, capsys):
     assert seen, "conditional model never invoked"
     assert all(c is not None for c in seen), (
         "conditional model was scored with condition=None at inference")
-    # the injected condition is the normalized 2D of the eval scene
-    # (closed-over constant, so it reaches apply concretely even under jit)
     for c in seen:
         assert tuple(c.shape) == (5, 17, 2), c.shape
+    # the injected condition is EXACTLY the ±1-normalized 2D of the eval
+    # scene (closed-over constant, so it reaches apply concretely even
+    # under jit; a tracer here means the wrapper regressed — fail loudly)
+    from zedo_tpu.data.base import normalize_data
+
+    _, test_ds = infant_cli.get_datasets(config)
+    want_cond = normalize_data(
+        np.asarray(test_ds.db_2d, np.float32)[:, :, :2])
     try:
         got = np.asarray(seen[0])
-    except Exception:
-        got = None  # traced abstract value: shape/None checks above suffice
-    if got is not None:
-        # reconstruct the expected condition from the fixture pipeline:
-        # main built cond2d from the dataset's gt 2D — compare against the
-        # recorded values' range (normalized frame is within ~[-1, 1])
-        assert np.all(np.abs(got) <= 1.5)
+    except Exception as e:
+        pytest.fail(f"recorded condition is not concrete: {e}")
+    assert np.abs(got).sum() > 0, "condition degraded to the zeroed null"
+    np.testing.assert_allclose(got, want_cond, atol=1e-6)

@@ -239,7 +239,7 @@ def test_sample_loop_rejects_scalar_guidance(rng):
     from zedo_tpu.models import score_mlp
 
     cfg = score_mlp.ScoreMLPConfig(
-        n_joints=17, joint_dim=3, hidden_dim=32, embed_dim=16, n_blocks=1,
+        n_joints=17, joint_dim=3, hidden_dim=32, embed_dim=16, n_blocks=1, group_norm_groups=8,
         embedding_type="positional", num_scales=5)
     params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
     sde = SubVPSDE(n=5, t_max=1.0)
@@ -250,7 +250,8 @@ def test_sample_loop_rejects_scalar_guidance(rng):
         return score_mlp.apply(params, cfg, x, labels, cond, msk)
 
     score_fn = get_score_fn(sde, model_fn, continuous=True)
-    with pytest.raises(AssertionError, match="per-coordinate gradient"):
+    # ValueError, not AssertionError: the gate must survive `python -O`
+    with pytest.raises(ValueError, match="per-coordinate gradient"):
         sampler.sample_loop(
             score_fn, jax.random.PRNGKey(1), (4, 17, 3),
             guidance_fn=guidance.get_sym_grad_fn(),

@@ -47,9 +47,12 @@ class ConcatDataset:
         if not hasattr(d0, "augment_batch"):
             return batch_3d
         for d in self.datasets[1:]:
-            assert (d.left_joints == d0.left_joints
+            if not (d.left_joints == d0.left_joints
                     and d.right_joints == d0.right_joints
-                    and d.flip == d0.flip and d.rot == d0.rot), (
-                "concat members disagree on flip/rot joint maps; "
-                "per-member batch augmentation is not supported")
+                    and d.flip == d0.flip and d.rot == d0.rot):
+                # raise, not assert: must survive python -O (the mismatch
+                # would otherwise silently mis-augment mid-training)
+                raise ValueError(
+                    "concat members disagree on flip/rot joint maps; "
+                    "per-member batch augmentation is not supported")
         return d0.augment_batch(batch_3d, rng)

@@ -294,11 +294,13 @@ class PCSampler:
                 # reference-parity get_sym_grad_fn, which mirrors the
                 # reference's loss-not-gradient quirk, sampling.py:395)
                 # would silently broadcast `x - scalar` and destroy the
-                # sample; fail at trace time instead
-                assert g.shape == x.shape, (
-                    f"guidance_fn must return a per-coordinate gradient "
-                    f"shaped like x {x.shape}, got {g.shape} — pass a "
-                    f"gradient (e.g. get_sym_gradient_fn), not a loss")
+                # sample; fail at trace time instead (raise, not assert:
+                # the gate must survive python -O)
+                if g.shape != x.shape:
+                    raise ValueError(
+                        f"guidance_fn must return a per-coordinate gradient "
+                        f"shaped like x {x.shape}, got {g.shape} — pass a "
+                        f"gradient (e.g. get_sym_gradient_fn), not a loss")
                 x = x - g
             return (x, x_mean), (x if return_trajectory else None)
 
@@ -308,9 +310,10 @@ class PCSampler:
                       else condition)
             last_t = jnp.full((shape[0],), timesteps[-1], x.dtype)
             g_last = guidance_fn(x_mean, last_t, g_cond)
-            assert g_last.shape == x_mean.shape, (
-                f"guidance_fn must return a per-coordinate gradient shaped "
-                f"like x {x_mean.shape}, got {g_last.shape}")
+            if g_last.shape != x_mean.shape:
+                raise ValueError(
+                    f"guidance_fn must return a per-coordinate gradient "
+                    f"shaped like x {x_mean.shape}, got {g_last.shape}")
             x_mean = x_mean - g_last
         x_final = x_mean if self.denoise else x
         if return_trajectory:

@@ -58,6 +58,26 @@ class ScoreMLPConfig:
     num_scales: int = 1000
     group_norm_groups: int = 32
 
+    def __post_init__(self):
+        # GroupNorm with 1 channel per group is degenerate: (x - x)/sqrt(0+
+        # eps) = 0, so every activation collapses to its bias and the whole
+        # network output becomes INPUT-INDEPENDENT (torch GroupNorm behaves
+        # identically, so the reference would too). Refuse loudly — this
+        # bit a hidden_dim=32 test model and produced batch-independent
+        # training losses with no other symptom.
+        if self.hidden_dim < 2 * self.group_norm_groups:
+            raise ValueError(
+                f"hidden_dim={self.hidden_dim} with group_norm_groups="
+                f"{self.group_norm_groups} gives GroupNorm groups of "
+                f"{self.hidden_dim // self.group_norm_groups} channel(s); "
+                f"size-1 groups normalize every activation to its bias, "
+                f"making the network constant in its input — widen "
+                f"hidden_dim or lower group_norm_groups")
+        if self.hidden_dim % self.group_norm_groups:
+            raise ValueError(
+                f"hidden_dim={self.hidden_dim} not divisible by "
+                f"group_norm_groups={self.group_norm_groups}")
+
 
 def get_sigmas(cfg: ScoreMLPConfig) -> np.ndarray:
     """Geometric sigma ladder (model.py:68-78)."""
