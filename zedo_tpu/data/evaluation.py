@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from zedo_tpu.ops.metrics import compute_auc, compute_pck, mpjpe, per_joint_error
+from zedo_tpu.ops.metrics import (
+    auc_from_errors, joint_errors_mm, min_over_hypotheses, mpjpe,
+    pck_from_errors, per_joint_error,
+)
 from zedo_tpu.ops.procrustes import align_to_gt_batched
 from zedo_tpu.utils.table import Table
 
@@ -35,7 +38,6 @@ class EvalReport:
 
 def _hypothesis_errors(preds, gt, protocol2: bool, joint_subset, subset_before_align):
     """[N, S, j, 3] preds vs [N, j, 3] gt -> [N, S] mean per-joint errors."""
-    n, s = preds.shape[:2]
     gt_b = jnp.broadcast_to(gt[:, None], preds.shape)
     if joint_subset is not None and subset_before_align:
         idx = jnp.asarray(joint_subset)
@@ -85,8 +87,9 @@ def multi_hypothesis_eval(
         preds, gt, protocol2, tuple(joint_subset) if joint_subset is not None else None,
         subset_before_align,
     )
-    per_sample_min = np.asarray(jnp.min(errors, axis=1))
-    min_idx = np.asarray(jnp.argmin(errors, axis=1))
+    min_err, min_arg = min_over_hypotheses(errors)
+    per_sample_min = np.asarray(min_err)
+    min_idx = np.asarray(min_arg)
 
     per_action = None
     if actions is not None:
@@ -108,8 +111,10 @@ def multi_hypothesis_eval(
         min_preds = np.asarray(
             jnp.take_along_axis(preds, jnp.asarray(min_idx)[:, None, None, None], axis=1)
         )[:, 0]
-        pck = compute_pck(np.asarray(gt), min_preds)
-        auc = compute_auc(np.asarray(gt), min_preds)
+        # one shared per-joint error matrix feeds both metrics
+        err_mm = joint_errors_mm(np.asarray(gt), min_preds)
+        pck = pck_from_errors(err_mm)
+        auc = auc_from_errors(err_mm)
 
     # per-axis hypothesis diversity, root-relative, excluding root
     # (mpii3dHP.py:487-490); only the 3DHP GT branch reads it — computed on

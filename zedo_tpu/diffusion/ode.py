@@ -77,8 +77,14 @@ def rk45(
                 yi = yi + h * aij * ks[j]
             ks.append(f(ti, yi))
         ks = jnp.stack(ks)
-        y5 = y + h * jnp.tensordot(_B5, ks, axes=1)
-        y4 = y + h * jnp.tensordot(_B4, ks, axes=1)
+        # HIGHEST: the default TPU contraction runs bf16 MXU inputs (~0.4%
+        # relative), drowning the y5-y4 embedded error estimate this solver
+        # controls to rtol/atol=1e-5 — steps would be spuriously rejected
+        # until h shrinks enough for ROUNDING to fit tolerance, inflating
+        # NFE toward the budget and degrading the transport
+        exact = jax.lax.Precision.HIGHEST
+        y5 = y + h * jnp.tensordot(_B5, ks, axes=1, precision=exact)
+        y4 = y + h * jnp.tensordot(_B4, ks, axes=1, precision=exact)
         err = err_norm(y5 - y4, y, y5)
 
         accept = err <= 1.0

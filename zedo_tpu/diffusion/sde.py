@@ -18,6 +18,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 ScoreFn = Callable[..., jax.Array]  # (x, t, condition, mask) -> score
 
@@ -48,10 +49,21 @@ class SDE:
     def prior_sampling(self, key, shape, dtype=jnp.float32):
         raise NotImplementedError
 
-    def prior_logp(self, z):
-        raise NotImplementedError
+    def _prior_sigma(self) -> float:
+        """Std of the isotropic-normal prior; VESDE overrides (sigma_max)."""
+        return 1.0
 
     # -- shared -------------------------------------------------------------
+    def prior_logp(self, z):
+        """Isotropic-normal prior log-density (sde_lib.py:142-149, 201-207,
+        244-249 — the three per-class copies collapse to one formula
+        parameterized by the prior std)."""
+        sigma = self._prior_sigma()
+        n_dims = math.prod(z.shape[1:])
+        flat = z.reshape(z.shape[0], -1)
+        return (-n_dims / 2.0 * math.log(2 * math.pi * sigma**2)
+                - jnp.sum(flat**2, axis=-1) / (2 * sigma**2))
+
     def discretize(self, x, t):
         """Euler-Maruyama discretization: x_{i+1} = x_i + f_i + G_i z_i
         (sde_lib.py:52-69). dt = 1/N regardless of T, as in the reference."""
@@ -147,11 +159,6 @@ class VPSDE(SDE):
     def prior_sampling(self, key, shape, dtype=jnp.float32):
         return jax.random.normal(key, shape, dtype)
 
-    def prior_logp(self, z):
-        n_dims = math.prod(z.shape[1:])
-        flat = z.reshape(z.shape[0], -1)
-        return -n_dims / 2.0 * math.log(2 * math.pi) - jnp.sum(flat**2, axis=-1) / 2.0
-
     def discretize(self, x, t):
         """DDPM discretization (sde_lib.py:157-165)."""
         timestep = (t * (self.n - 1) / self.T).astype(jnp.int32)
@@ -199,11 +206,6 @@ class SubVPSDE(SDE):
     def prior_sampling(self, key, shape, dtype=jnp.float32):
         return jax.random.normal(key, shape, dtype)
 
-    def prior_logp(self, z):
-        n_dims = math.prod(z.shape[1:])
-        flat = z.reshape(z.shape[0], -1)
-        return -n_dims / 2.0 * math.log(2 * math.pi) - jnp.sum(flat**2, axis=-1) / 2.0
-
 
 @dataclasses.dataclass(frozen=True)
 class VESDE(SDE):
@@ -233,12 +235,8 @@ class VESDE(SDE):
     def prior_sampling(self, key, shape, dtype=jnp.float32):
         return jax.random.normal(key, shape, dtype) * self.sigma_max
 
-    def prior_logp(self, z):
-        n_dims = math.prod(z.shape[1:])
-        flat = z.reshape(z.shape[0], -1)
-        return -n_dims / 2.0 * math.log(2 * math.pi * self.sigma_max**2) - jnp.sum(
-            flat**2, axis=-1
-        ) / (2 * self.sigma_max**2)
+    def _prior_sigma(self) -> float:
+        return self.sigma_max
 
     def discretize(self, x, t):
         """SMLD discretization (sde_lib.py:253-261)."""
@@ -253,20 +251,25 @@ class VESDE(SDE):
 
 
 def get_ddpm_params(beta_min=0.1, beta_max=20.0, num_scales=1000):
-    """Discrete DDPM schedule dict (reference utils.py:669-691)."""
+    """Discrete DDPM schedule dict (reference utils.py:669-691).
+
+    The schedule constants are computed in float64 — the reference
+    hard-codes np.float64 here — so the 1000-factor cumprod doesn't
+    accumulate f32 rounding; only the final arrays convert to f32."""
     num_diffusion_timesteps = 1000
     beta_start = beta_min / num_scales
     beta_end = beta_max / num_scales
-    betas = jnp.linspace(beta_start, beta_end, num_diffusion_timesteps,
-                         dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    alphas = 1.0 - betas
-    alphas_cumprod = jnp.cumprod(alphas)
+    betas64 = np.linspace(beta_start, beta_end, num_diffusion_timesteps,
+                          dtype=np.float64)
+    alphas64 = 1.0 - betas64
+    alphas_cumprod64 = np.cumprod(alphas64)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
     return {
-        "betas": betas,
-        "alphas": alphas,
-        "alphas_cumprod": alphas_cumprod,
-        "sqrt_alphas_cumprod": jnp.sqrt(alphas_cumprod),
-        "sqrt_1m_alphas_cumprod": jnp.sqrt(1.0 - alphas_cumprod),
+        "betas": f32(betas64),
+        "alphas": f32(alphas64),
+        "alphas_cumprod": f32(alphas_cumprod64),
+        "sqrt_alphas_cumprod": f32(np.sqrt(alphas_cumprod64)),
+        "sqrt_1m_alphas_cumprod": f32(np.sqrt(1.0 - alphas_cumprod64)),
         "beta_min": beta_start * (num_diffusion_timesteps - 1),
         "beta_max": beta_end * (num_diffusion_timesteps - 1),
         "num_diffusion_timesteps": num_diffusion_timesteps,

@@ -110,12 +110,15 @@ def solve_translation(
     """Closed-form global translation from root-relative 3D pose + camera rays.
 
     rays: [..., j, 3] z-normalized (z == 1) rays; key3d: [..., j, 3];
-    conf: [..., j] already clamped, or None. Returns T [..., 1, 3].
-    (The OIL hot loop uses the same assembly with the normal-matrix inverse
-    precomputed once — zeroshot/oil.py.)
+    conf: [..., j] raw confidences (clamped here, as the reference clamps
+    before building the system — simple_zeroshot_opt.py:65-66; raw zeros
+    would otherwise zero whole rows and make the normal matrix singular),
+    or None. Returns T [..., 1, 3]. (The OIL hot loop uses the same
+    assembly with the normal-matrix inverse precomputed once —
+    zeroshot/oil.py.)
     """
     rx, ry = rays[..., 0], rays[..., 1]
-    w = jnp.ones_like(rx) if conf is None else (conf * conf) ** 2
+    w = confidence_weights(conf, rx)
     t = solve3x3(normal_matrix(rx, ry, w), normal_rhs(rx, ry, w, key3d))
     t = flip_negative_z(t)
     return t[..., None, :]

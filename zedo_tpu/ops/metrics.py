@@ -38,6 +38,31 @@ def min_over_hypotheses(errors: jax.Array) -> tuple[jax.Array, jax.Array]:
     return jnp.min(errors, axis=1), jnp.argmin(errors, axis=1)
 
 
+def joint_errors_mm(gts, preds, scale: float = 1000.0, eval_joints=None):
+    """[N, j] per-joint errors in mm — the shared input of PCK and AUC
+    (computed once per eval instead of once per metric)."""
+    err_mm = per_joint_error(jnp.asarray(preds), jnp.asarray(gts)) * scale
+    if eval_joints is not None:
+        err_mm = err_mm[:, jnp.asarray(eval_joints)]
+    return err_mm
+
+
+def pck_from_errors(err_mm, threshold: float = 150.0) -> float:
+    """PCK at `threshold` mm from a precomputed [N, j] error matrix."""
+    true_positive = int(jnp.sum((err_mm < threshold).astype(jnp.int32)))
+    return float(true_positive / err_mm.size) * 100.0
+
+
+def auc_from_errors(err_mm) -> float:
+    """PCK-curve area (thresholds 0..150mm, 31 steps) from [N, j] errors."""
+    thresholds = jnp.linspace(0.0, 150.0, 31)
+    hits = jnp.sum(
+        (err_mm[None, :, :] < thresholds[:, None, None]).astype(jnp.int32), axis=(1, 2)
+    )
+    pcks = np.asarray(hits, dtype=np.float64) / err_mm.size * 100.0
+    return float(np.mean(pcks))
+
+
 def compute_pck(
     gts: np.ndarray,
     preds: np.ndarray,
@@ -51,13 +76,8 @@ def compute_pck(
     hard-codes 1000 inside the loop regardless of its `scales` arg —
     utils.py:829; we expose it but default identically).
     """
-    gts = jnp.asarray(gts)
-    preds = jnp.asarray(preds)
-    err_mm = per_joint_error(preds, gts) * scale  # [N, j]
-    if eval_joints is not None:
-        err_mm = err_mm[:, jnp.asarray(eval_joints)]
-    true_positive = int(jnp.sum((err_mm < threshold).astype(jnp.int32)))
-    return float(true_positive / err_mm.size) * 100.0
+    return pck_from_errors(joint_errors_mm(gts, preds, scale, eval_joints),
+                           threshold)
 
 
 def compute_auc(
@@ -65,17 +85,7 @@ def compute_auc(
 ) -> float:
     """Area under the PCK curve for thresholds 0..150mm in 31 steps
     (utils.py:839-849, mimicking mpii_compute_3d_pck.m)."""
-    gts = jnp.asarray(gts)
-    preds = jnp.asarray(preds)
-    err_mm = per_joint_error(preds, gts) * scale
-    if eval_joints is not None:
-        err_mm = err_mm[:, jnp.asarray(eval_joints)]
-    thresholds = jnp.linspace(0.0, 150.0, 31)
-    hits = jnp.sum(
-        (err_mm[None, :, :] < thresholds[:, None, None]).astype(jnp.int32), axis=(1, 2)
-    )
-    pcks = np.asarray(hits, dtype=np.float64) / err_mm.size * 100.0
-    return float(np.mean(pcks))
+    return auc_from_errors(joint_errors_mm(gts, preds, scale, eval_joints))
 
 
 def mean_cov(x: np.ndarray):

@@ -129,7 +129,11 @@ def euler_angles_to_matrix(euler_angles: jax.Array, convention: str) -> jax.Arra
         _axis_angle_rotation(c, e)
         for c, e in zip(convention, jnp.moveaxis(euler_angles, -1, 0))
     ]
-    return matrices[0] @ matrices[1] @ matrices[2]
+    # HIGHEST: rotation composition is geometry (repo numerics policy);
+    # default TPU matmul would round the entries through bf16
+    exact = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(matrices[0], matrices[1], precision=exact),
+                      matrices[2], precision=exact)
 
 
 def _angle_from_tan(
