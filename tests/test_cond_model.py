@@ -124,3 +124,22 @@ def test_classifier_free_null_matches_dropout_null(rng):
                                                   cond2d, w=0.0)
     np.testing.assert_allclose(np.asarray(out_w0), np.asarray(out_cond),
                                rtol=1e-6)
+
+
+def test_cond_none_is_null_condition(rng):
+    """apply(condition=None) must produce the NULL-condition output, not the
+    re-expressed cond = batch.xy fake (package review r4): every
+    unconditional caller (registry, OIL generic path, eval sampling) relies
+    on this default."""
+    cfg = _cfg()
+    params = score_mlp_cond.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(4, cfg.n_joints, 3).astype(np.float32))
+    t = jnp.full((4,), 12.0, jnp.float32)
+    got_none = np.asarray(score_mlp_cond.apply(params, cfg, x, t, None))
+    want_null = np.asarray(score_mlp_cond.apply(
+        params, cfg, x, t, x * 0.37, force_null_condition=True))
+    np.testing.assert_array_equal(got_none, want_null)
+    # and it differs from the fake-condition state (raw zero keypoints)
+    fake = np.asarray(score_mlp_cond.apply(
+        params, cfg, x, t, jnp.zeros_like(x)))
+    assert not np.allclose(got_none, fake)

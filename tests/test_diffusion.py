@@ -257,3 +257,74 @@ def test_train_step_decreases_loss():
     eval_fn = jax.jit(losses_lib.get_step_fn(sde, model_apply, None, train=False))
     _, eval_loss = eval_fn(state, key, batch)
     assert np.isfinite(float(eval_loss))
+
+
+def test_train_step_freezes_buffers(rng):
+    """Non-trainable buffers never move under the train step: the fourier
+    projection W is requires_grad=False in the reference (model.py:33) yet
+    receives a real gradient through time_embedding, and coupled weight
+    decay would shrink the zero-gradient `sigmas` buffer (package review
+    r4)."""
+    import ml_collections
+
+    from zedo_tpu.diffusion.sde import SubVPSDE
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.train import trainer
+
+    conf = ml_collections.ConfigDict()
+    conf.optim = ml_collections.ConfigDict(dict(
+        optimizer="Adam", lr=1e-2, beta1=0.9, eps=1e-8, warmup=0,
+        grad_clip=1.0, weight_decay=1e-2))  # coupled L2 engaged
+    cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="fourier")
+    params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    optimizer = losses_lib.get_optimizer(conf)
+    sde = SubVPSDE(n=1000, t_max=1.0)
+    step = trainer.make_train_step(sde, score_mlp.apply, cfg, optimizer)
+    state = losses_lib.init_train_state(params, optimizer, 0.9999)
+    batch = jnp.asarray(rng.randn(16, 17, 3).astype(np.float32) * 0.1)
+    key = jax.random.PRNGKey(2)
+    for _ in range(4):
+        key, sk = jax.random.split(key)
+        state, loss = step(state, sk, batch, None, None)
+    # buffers bit-stationary; trainable weights moved
+    np.testing.assert_array_equal(
+        np.asarray(state.params["gauss_proj"]["W"]),
+        np.asarray(params["gauss_proj"]["W"]))
+    np.testing.assert_array_equal(
+        np.asarray(state.params["sigmas"]), np.asarray(params["sigmas"]))
+    assert not np.array_equal(
+        np.asarray(state.params["pre_dense"]["weight"]),
+        np.asarray(params["pre_dense"]["weight"]))
+
+
+def test_sample_loop_trajectory_last_entry_is_denoised(rng):
+    """Reference contract (lib/sampling.py:591): trajs[-1] == x_mean, the
+    denoised final sample, not the noisy carried x."""
+    from zedo_tpu.diffusion.score import get_score_fn
+    from zedo_tpu.models import score_mlp
+
+    cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=64, embed_dim=32, n_blocks=1,
+        embedding_type="positional", num_scales=10)
+    params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
+    sde = SubVPSDE(n=10, t_max=1.0)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=False, denoise=True)
+
+    def model_fn(x, labels, cond, msk):
+        return score_mlp.apply(params, cfg, x, labels, cond, msk)
+
+    score_fn = get_score_fn(sde, model_fn, continuous=True)
+    trajs, x_final = sampler.sample_loop(
+        score_fn, jax.random.PRNGKey(3), (4, 17, 3), return_trajectory=True)
+    np.testing.assert_array_equal(np.asarray(trajs[-1]), np.asarray(x_final))
+    # a non-denoised sampler's x_final is the carried x, but trajs[-1]
+    # still records x_mean (exactly the reference's overwrite)
+    sampler_nd = PCSampler(sde=sde, predictor="euler_maruyama",
+                           corrector="none", probability_flow=False,
+                           denoise=False)
+    trajs_nd, x_final_nd = sampler_nd.sample_loop(
+        score_fn, jax.random.PRNGKey(3), (4, 17, 3), return_trajectory=True)
+    assert not np.array_equal(np.asarray(trajs_nd[-1]), np.asarray(x_final_nd))

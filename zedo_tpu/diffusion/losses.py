@@ -237,11 +237,25 @@ def get_step_fn(
 
     if train:
 
+        def _buffer_paths(path):
+            # non-trainable buffers, frozen regardless of grad_mask: the
+            # reference registers `sigmas` as a buffer (model.py:132) and
+            # pins the fourier projection W with requires_grad=False
+            # (model.py:33) — without this, fourier training would drift
+            # the fixed time-feature basis via its real gradient, and
+            # coupled weight decay would shrink `sigmas` despite its zero
+            # gradient
+            keys = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+            return ("sigmas" in keys) or ("gauss_proj" in keys and "W" in keys)
+
         def _mask(tree):
+            def leaf(path, g, m=True):
+                frozen = _buffer_paths(path) or not m
+                return jnp.zeros_like(g) if frozen else g
+
             if grad_mask is None:
-                return tree
-            return jax.tree.map(
-                lambda g, m: g if m else jnp.zeros_like(g), tree, grad_mask)
+                return jax.tree_util.tree_map_with_path(leaf, tree)
+            return jax.tree_util.tree_map_with_path(leaf, tree, grad_mask)
 
         def step_fn(state: TrainState, rng, batch, condition=None, mask=None):
             loss, grads = jax.value_and_grad(loss_fn)(

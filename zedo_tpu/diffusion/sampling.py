@@ -317,6 +317,11 @@ class PCSampler:
             x_mean = x_mean - g_last
         x_final = x_mean if self.denoise else x
         if return_trajectory:
+            # reference contract: the trajectory's last entry is the
+            # denoised x_mean, not the noisy carried x
+            # (lib/sampling.py:591 `trajs[-1] = x_mean`); with guidance,
+            # the final guided value lands there too
+            trajs = trajs.at[-1].set(x_mean)
             return trajs, x_final
         return x_final
 

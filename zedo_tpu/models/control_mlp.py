@@ -28,26 +28,20 @@ Params = dict
 
 
 def init_params(key: jax.Array, cfg: ScoreMLPConfig, dtype=jnp.float32) -> Params:
-    """Trunk params + control branch (randomly initialized) + zc bridges."""
-    keys = jax.random.split(key, 8)
+    """Trunk params + zc bridges + infant_cond; the `*_copy` branch is built
+    by init_control_params as an exact trunk copy (the reference's
+    init_weight, control_model.py:235-261), so no random copy-branch init
+    exists to discard."""
+    keys = jax.random.split(key, 2)
     p = init_trunk_params(keys[0], cfg, dtype)
-    h, e, io = cfg.hidden_dim, cfg.embed_dim, cfg.n_joints * cfg.joint_dim
-    sub = iter(jax.random.split(keys[1], 8 + 6 * cfg.n_blocks))
+    h, io = cfg.hidden_dim, cfg.n_joints * cfg.joint_dim
+    sub = iter(jax.random.split(keys[1], 3 + 2 * cfg.n_blocks))
     p["infant_cond"] = jax.random.normal(next(sub), (io,), dtype)
     p["zc_layer_1"] = nn.init_linear(next(sub), io, io, dtype)
     p["zc_layer_2"] = nn.init_linear(next(sub), h, h, dtype)
-    p["pre_dense_copy"] = nn.init_linear(next(sub), io, h, dtype)
-    p["pre_dense_t_copy"] = nn.init_linear(next(sub), e, h, dtype)
-    p["pre_gnorm_copy"] = nn.init_group_norm(h, dtype)
     for idx in range(cfg.n_blocks):
         p[f"zc_b{idx + 1}_1"] = nn.init_linear(next(sub), h, h, dtype)
         p[f"zc_b{idx + 1}_2"] = nn.init_linear(next(sub), h, h, dtype)
-        p[f"b{idx + 1}_dense1_copy"] = nn.init_linear(next(sub), h, h, dtype)
-        p[f"b{idx + 1}_dense1_t_copy"] = nn.init_linear(next(sub), e, h, dtype)
-        p[f"b{idx + 1}_gnorm1_copy"] = nn.init_group_norm(h, dtype)
-        p[f"b{idx + 1}_dense2_copy"] = nn.init_linear(next(sub), h, h, dtype)
-        p[f"b{idx + 1}_dense2_t_copy"] = nn.init_linear(next(sub), e, h, dtype)
-        p[f"b{idx + 1}_gnorm2_copy"] = nn.init_group_norm(h, dtype)
     return init_control_params(p, cfg)
 
 

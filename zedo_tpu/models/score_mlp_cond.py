@@ -110,7 +110,13 @@ def apply(
     g = cfg.group_norm_groups
 
     if condition is None:
+        # no condition = the NULL state, not raw zero keypoints: zeros
+        # would re-express below to cond = batch.xy (a strong fake
+        # condition — see force_null_condition docstring). Every caller
+        # that runs this model unconditionally (registry, OIL generic
+        # path, eval sampling) gets the train-time dropout null.
         condition = jnp.zeros_like(batch)
+        force_null_condition = True
     if condition.shape[-1] == 2:
         condition = jnp.concatenate(
             [condition, jnp.zeros_like(condition[..., :1])], axis=-1

@@ -213,18 +213,11 @@ def main(args):
             part_mask_prob=float(config.training.get("cond_part_mask_prob", 0.0)),
             joint_mask_prob=float(config.training.get("cond_joint_mask_prob", 0.0)),
         )
-        base_apply = functools.partial(score_mlp_cond.apply, mask_cfg=mask_cfg)
-
-        def cond_apply(p, cfg, x, labels, cond, msk, **kw):
-            if cond is None:
-                # no condition supplied (eval sampling, micro solve): use
-                # the train-time dropout null, NOT raw zeros, which would
-                # re-express to cond = batch.xy (score_mlp_cond docstring)
-                return base_apply(p, cfg, x, labels, None, msk,
-                                  force_null_condition=True, **kw)
-            return base_apply(p, cfg, x, labels, cond, msk, **kw)
-
-        model_apply_raw = cond_apply
+        # condition=None resolves to the train-time dropout null inside
+        # apply() itself (score_mlp_cond), so eval sampling and the micro
+        # solve are correctly unconditional without a shim here
+        model_apply_raw = functools.partial(score_mlp_cond.apply,
+                                            mask_cfg=mask_cfg)
         model_init = score_mlp_cond.init_params
         # condition = the dataset's 2D keypoints in the reference's own ±1
         # image-frame normalization (data/base.py normalize_data,

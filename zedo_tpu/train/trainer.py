@@ -465,6 +465,7 @@ def train_loop(
         perm = np.random.RandomState([trainer_cfg.seed, epoch]).permutation(n)
         epoch_key = jax.random.fold_in(key, epoch)
         meter = AverageMeter()
+        step_losses = []  # device scalars; materialized once per epoch
         for i in range(steps_per_epoch):
             epoch_key, step_key = jax.random.split(epoch_key)
             if epoch == start_epoch and i < resume_skip:
@@ -485,17 +486,23 @@ def train_loop(
                 if cond is not None:
                     cond = jax.device_put(cond, batch_sharding)
             state, loss = train_step(state, step_key, batch, cond, None)
-            loss = float(loss)
-            meter.update(loss)
+            # keep the loss on-device: float() here would force a
+            # host round-trip per step, serializing dispatch behind the
+            # relay latency; the epoch's scalars materialize together
+            # below, after every step is already enqueued
+            step_losses.append((i, loss))
             global_step += 1
-            if writer is not None:
-                writer.add_scalar("train_loss", loss, i + epoch * steps_per_epoch)
             if (trainer_cfg.preemption_ckpt_freq
                     and global_step % trainer_cfg.preemption_ckpt_freq == 0):
                 ckpt_lib.save_native(
                     os.path.join(output_dir, "checkpoint_preempt"),
                     _ckpt_payload(epoch),  # CURRENT epoch: mid-epoch state
                 )
+        for i, loss in step_losses:
+            loss = float(loss)
+            meter.update(loss)
+            if writer is not None:
+                writer.add_scalar("train_loss", loss, i + epoch * steps_per_epoch)
         log(f"EPOCH: [{epoch}/{trainer_cfg.n_epochs}], Loss: {meter.avg}")
         if writer is not None:
             writer.add_scalar("Loss/train", meter.avg, epoch)
