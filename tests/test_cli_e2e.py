@@ -1356,3 +1356,29 @@ def test_infant_cli_cond_condition_injected(tmp_path, rng, monkeypatch, capsys):
         pytest.fail(f"recorded condition is not concrete: {e}")
     assert np.abs(got).sum() > 0, "condition degraded to the zeroed null"
     np.testing.assert_allclose(got, want_cond, atol=1e-6)
+
+
+def test_train_cli_rejects_cond_aug_and_h36m_aug(tmp_path, rng, monkeypatch):
+    """Loud rejection of silently-broken flag combinations (package review
+    r4): --model cond with --aug (aug rows carry no 2D to condition on) and
+    h36m with --aug (no augmentation source)."""
+    import types as _types
+
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    import zedo_tpu.run.train_pose_mini as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    _mini_fixture(rng)
+    config = mini_cfg.get_config()
+    config.data.dataset = "mini"
+    config.DATASET.NUM_JOINT = 17
+    monkeypatch.setattr(train_cli, "FLAGS", _types.SimpleNamespace(config=config))
+    with pytest.raises(SystemExit, match="no 2D keypoints"):
+        train_cli.main(_train_cli_args(model="cond", aug=True, log_name="x1"))
+
+    config2 = mini_cfg.get_config()
+    config2.data.dataset = "h36m"
+    config2.DATASET.NUM_JOINT = 17
+    monkeypatch.setattr(train_cli, "FLAGS", _types.SimpleNamespace(config=config2))
+    with pytest.raises(SystemExit, match="no augmentation source"):
+        train_cli.main(_train_cli_args(aug=True, log_name="x2"))

@@ -45,16 +45,13 @@ def main():
     zcfg = pipeline_lib.ZeDOConfig.from_config(config)
     clusters = (rng.randn(hypo, 17, 3) * 0.25).astype(np.float32)
 
+    from bench import build_inputs
+
     def scene(n):
-        gt = rng.randn(n, 17, 3).astype(np.float32) * 0.25
-        gt -= gt[:, 0:1]
-        k = np.zeros((n, 3, 3), np.float32)
-        k[:, 0, 0] = k[:, 1, 1] = 1145.0
-        k[:, 0, 2] = k[:, 1, 2] = 512.0
-        k[:, 2, 2] = 1.0
-        cam = gt + np.array([0.1, 0.0, 4.5], np.float32)
-        px = np.einsum("bij,bnj->bni", k, cam)
-        return (px[..., :2] / px[..., 2:]).astype(np.float32), k
+        # the shared synthetic pinhole scene (bench.build_inputs) at the
+        # request size; conf/clusters from it are unused here
+        px, _conf, k, _clusters = build_inputs(n=n, s=1, seed=n)
+        return px, k
 
     for reuse in (1, 2):
         z = zcfg if reuse == 1 else dataclasses.replace(

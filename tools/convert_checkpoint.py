@@ -13,9 +13,13 @@ cluster: README-shipped .pkl cluster files -> the .npy the loaders expect
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+# zedo_tpu is not pip-installed; run the tool from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pth2native(src: str, dst: str, n_joints: int = 17):

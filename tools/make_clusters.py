@@ -15,9 +15,14 @@ root-centered training poses -> [S, j, 3] cluster centers.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 import numpy as np
 from scipy.cluster.vq import kmeans2
+
+# zedo_tpu is not pip-installed; run the tool from anywhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def make_clusters(poses: np.ndarray, s: int, seed: int = 0) -> np.ndarray:

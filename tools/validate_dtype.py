@@ -31,6 +31,11 @@ def main():
     n = cli_int_arg(sys.argv, "--n", 886)
     s = cli_int_arg(sys.argv, "--hypo", 4)
 
+    # NOT bench.build_inputs: this tool's characterized dtype deltas
+    # (DESIGN.md "+0.010mm") depend on its own fixture — clusters seeded
+    # NEAR the GT poses and a damped output head (below), so the loop
+    # converges and the bf16-vs-f32 difference is measured in the
+    # operating regime rather than on a diverging solve
     rng = np.random.RandomState(0)
     k = np.zeros((n, 3, 3), np.float32)
     k[:, 0, 0] = k[:, 1, 1] = 1145.0

@@ -7,10 +7,12 @@ fresh hosts (utils/config.py). Re-run after ANY change that alters the traced
 solve program (oil/pipeline/kernel/model code, bench shapes) — stale entries
 are harmless (key mismatch -> normal compile) but useless.
 
-Usage:  python tools/warm_cache.py [--full]
-  --full also captures the documented secondary shapes (Ski --n 1716,
-  --reuse 2) so their first-touch skips the relay compile too; default
-  captures only the flagship program (what the driver's bench runs).
+Usage:  python tools/warm_cache.py [--flagship-only]
+  Default captures ALL committed shapes — flagship + Ski (--n 1716) +
+  --reuse 2 — because regeneration PURGES the artifact dir first: a
+  flagship-only run would silently discard the committed secondary-shape
+  executables and fresh hosts would pay the 5-60s relay compile for them.
+  --flagship-only opts into the faster single-program capture.
 """
 from __future__ import annotations
 
@@ -33,7 +35,7 @@ def main():
     # would survive the purge below
     env["ZEDO_CACHE_SEED"] = "off"
     runs = [[]]
-    if "--full" in sys.argv:
+    if "--flagship-only" not in sys.argv:
         runs += [["--n", "1716"], ["--reuse", "2"]]
     for extra in runs:
         print(f"running bench {' '.join(extra) or '(flagship)'} "

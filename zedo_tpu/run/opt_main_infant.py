@@ -33,7 +33,11 @@ def parse_args(argv):
     parser = argparse_flags.ArgumentParser(description="valid score model")
     parser.add_argument("--ckpt_dir", type=str)
     parser.add_argument("--ckpt_name", type=str)
-    parser.add_argument("--gt", action="store_true", default=False)
+    parser.add_argument("--gt", action="store_true", default=False,
+                        help="parsed-but-inert, as in the reference (its "
+                             "get_dataloader hard-codes gt2d=True, "
+                             "opt_main_infant.py:85-114; the infant sets "
+                             "ship no detected-2D files)")
     parser.add_argument("--hypo", type=int, default=1)
     parser.add_argument("--control", default=False, action="store_true")
     parser.add_argument("--cond", default=False, action="store_true")

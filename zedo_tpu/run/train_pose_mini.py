@@ -88,6 +88,13 @@ def build_train_dataset(config, args):
     if name == "h36m":
         # adult-prior training (the reference ships adult checkpoints but no
         # adult training config; the same loop trains it here)
+        if args.aug:
+            # loud, not silently dropped: --aug means the infant datasets'
+            # extra prior rows (aug_mini.npy / syrip prior stitching);
+            # h36m has no aug source
+            raise SystemExit(
+                "--aug is an infant-data option (mini/syrip prior rows); "
+                "the h36m reader has no augmentation source")
         return H36MDataset3D(
             Path("data", "h36m"), "train", gt2d=True,
             sample_interval=args.sample or 1, flip=args.rotflip, rot=args.rotflip,
@@ -169,6 +176,15 @@ def main(args):
     except Exception:
         writer = None
 
+    if getattr(args, "model", "score") == "cond" and args.aug:
+        # the aug rows are PRIOR-ONLY 3D (mini zeroes db_2d entirely, syrip
+        # appends 3D rows with no 2D) — conditional training would either
+        # crash on the length mismatch or silently condition on constant
+        # zeros; refuse before touching any data files
+        raise SystemExit(
+            "--model cond is incompatible with --aug: augmentation "
+            "rows carry no 2D keypoints to condition on")
+
     from zedo_tpu.parallel.mesh import mesh_from_spec
 
     mesh = mesh_from_spec(getattr(args, "mesh", "auto"))
@@ -207,6 +223,7 @@ def main(args):
 
         from zedo_tpu.models import score_mlp_cond
         from zedo_tpu.data.base import normalize_data
+
 
         mask_cfg = score_mlp_cond.CondMaskConfig(
             pose_mask_prob=float(config.training.get("cond_pose_mask_prob", 0.0)),

@@ -348,7 +348,11 @@ def train_loop(
     n = len(data_3d)
     if condition_data is not None:
         condition_data = np.asarray(condition_data, np.float32)
-        assert len(condition_data) == n, (len(condition_data), n)
+        if len(condition_data) != n:
+            raise ValueError(
+                f"condition_data has {len(condition_data)} rows but db_3d "
+                f"has {n} — conditions must align 1:1 with training poses "
+                f"(augmentation rows carry no 2D; see --model cond)")
     batch_size = min(config.training.batch_size, n)
     if mesh is not None:
         # the batch is device_put to P('data'): keep it divisible by the
