@@ -2,6 +2,7 @@
 against a numpy transcription of the reference's eval_multi."""
 import os
 import pickle
+import types
 
 import numpy as np
 import pytest
@@ -678,3 +679,108 @@ def test_train_loop_applies_batch_augs(tmp_path, rng):
     run(concat, "concat")
     # 64 rows / batch 16 = 4 steps/epoch x 2 epochs, all delegated via m1
     assert ccalls == [16] * 8
+
+
+def test_valid_ind_filters_hypotheses(rng):
+    """valid_ind is honored (reference `if sec_idx not in valid_ind[idx]:
+    continue`): invalidated hypotheses cannot win the min — it used to be
+    accepted-and-ignored, silently reporting better errors (package review
+    r4)."""
+    n, s = 6, 3
+    gt = rng.randn(n, 17, 3).astype(np.float32)
+    preds = np.stack([gt + 0.01 * (h + 1) for h in range(s)], axis=1)
+    # hypothesis 0 is always best; invalidate it for every sample
+    full = evaluation.multi_hypothesis_eval(preds, gt)
+    assert np.all(full.min_hypothesis == 0)
+    filt = evaluation.multi_hypothesis_eval(
+        preds, gt, valid_ind=[[1, 2]] * n)
+    assert np.all(filt.min_hypothesis == 1)
+    assert filt.error > full.error
+    # boolean-mask form agrees
+    mask = np.zeros((n, s), bool)
+    mask[:, 1:] = True
+    filt2 = evaluation.multi_hypothesis_eval(preds, gt, valid_ind=mask)
+    assert filt2.error == filt.error
+    with pytest.raises(ValueError, match="no valid hypothesis"):
+        evaluation.multi_hypothesis_eval(preds, gt, valid_ind=[[]] * n)
+
+
+def test_eval_rejects_disjoint_action_order(rng):
+    """Actions entirely outside action_order raise instead of a silent
+    nan headline (package review r4)."""
+    gt = rng.randn(4, 17, 3).astype(np.float32)
+    with pytest.raises(ValueError, match="no samples fall"):
+        evaluation.multi_hypothesis_eval(
+            gt[:, None] + 0.01, gt, actions=np.array([99, 99, 98, 98]),
+            action_order=[2, 3, 4])
+
+
+def test_mini_12_flip_maps(tmp_path, rng):
+    """mini at num_joint=12 carries 12-convention flip maps (the base
+    H36M-17 maps index up to 16 and would IndexError); syrip's 12-ordering
+    differs, so the concat aug guard refuses the mix loudly."""
+    from zedo_tpu.data.concat import ConcatDataset
+
+    d = {"train": {}, "validate": {}}
+    for i in range(6):
+        d["train"][f"01_f{i}.txt"] = {
+            "pose_2d": rng.rand(25, 2).astype(np.float32) * 400,
+            "pose_3d": rng.randn(25, 3).astype(np.float32) * 0.1}
+    np.save(tmp_path / "MINI-RGBD.npy", d)
+    ds = mini_rgbd("train", num_joint=12, data_root=str(tmp_path), flip=True)
+    assert ds.db_3d.shape[1] == 12
+    assert max(ds.left_joints + ds.right_joints) < 12
+    out = ds.augment_batch(ds.db_3d.copy(), np.random.RandomState(0))
+    assert out.shape == ds.db_3d.shape  # no IndexError, valid swap maps
+    # per-item path works too
+    _ = ds[0]
+
+    fake_syrip = types.SimpleNamespace(
+        left_joints=[3, 4, 5, 9, 10, 11], right_joints=[0, 1, 2, 6, 7, 8],
+        flip=True, rot=False)
+    concat = ConcatDataset.__new__(ConcatDataset)
+    concat.datasets = [ds, fake_syrip]
+    with pytest.raises(ValueError, match="joint maps"):
+        concat.augment_batch(ds.db_3d, np.random.RandomState(0))
+
+
+def test_syrip_rejects_non_12_joint(tmp_path, rng):
+    """syrip's 2D/3D only align after the CHANGE_12 reorder; any other
+    num_joint is refused loudly instead of silently scrambling joint
+    correspondences (the reference's default 17 does exactly that)."""
+    root = tmp_path
+    (root / "SyRIP_3d_correction").mkdir()
+    (root / "SyRIP_3d_pred").mkdir()
+    np.save(root / "SyRIP_3d_pred" / "output_imgnames.npy",
+            np.array(["a/img0.jpg"]))
+    np.save(root / "SyRIP_3d_correction" / "correct_3D.npy",
+            rng.randn(1, 14, 3).astype(np.float32))
+    np.save(root / "train_rysip.npy", {"img0.jpg": ["img0.jpg"]})
+    np.save(root / "train_pose2d.npy",
+            {"img0.jpg": {"keypoints": rng.rand(17, 2), "h": 100, "w": 100}})
+    np.save(root / "test_pose2d.npy", {})
+    with pytest.raises(ValueError, match="num_joint=12 only"):
+        syrip(subset="train", num_joint=17, data_root=str(root))
+
+
+def test_pad_batch_edge_inputs():
+    """Empty batches and all-None dicts fail with clear errors, not
+    IndexError/StopIteration (package review r4)."""
+    with pytest.raises(ValueError, match="empty batch"):
+        sharding.pad_batch({"a": np.zeros((0, 17, 2)), "b": None}, 8)
+    with pytest.raises(ValueError, match="only None"):
+        sharding.pad_batch({"a": None, "b": None}, 8)
+
+
+def test_mpii3dhp_eval_requires_gt_branch(tmp_path, rng):
+    """Single-hypothesis eval on the detected-2D dataset (no gt_dataset)
+    raises a clear error instead of TypeError on None."""
+    lens = {"TS1": 3, "TS2": 2, "TS3": 101, "TS4": 101, "TS5": 2, "TS6": 2}
+    d3 = {s: rng.randn(n, 16, 3).astype(np.float32) * 300 for s, n in lens.items()}
+    d2 = {s: rng.rand(n, 16, 2).astype(np.float32) * 2000 for s, n in lens.items()}
+    np.savez(tmp_path / "mpii_dt_test.npz",
+             positions_3d=np.array(d3, dtype=object),
+             positions_2d=np.array(d2, dtype=object))
+    ds = MPII3DHP(str(tmp_path), "test", gt2d=False, abs_coord=True)
+    with pytest.raises(ValueError, match="GT pkl branch"):
+        ds.eval(ds.db_3d[:, None][:, 0])

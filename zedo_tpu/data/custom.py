@@ -50,6 +50,6 @@ class CustomDataset(PoseDataset):
             preds = preds[::sample_interval]
             gt = gt[::sample_interval]
         gt = gt - gt[:, 0:1]
-        report = evaluation.multi_hypothesis_eval(preds, gt, protocol2=protocol2)
+        report = evaluation.multi_hypothesis_eval(preds, gt, valid_ind=valid_ind, protocol2=protocol2)
         print(f"mean {'PA-MPJPE' if protocol2 else 'MPJPE'} : {report.error}")
         return report.error

@@ -19,7 +19,7 @@ import numpy as np
 
 from zedo_tpu.ops.metrics import (
     auc_from_errors, joint_errors_mm, min_over_hypotheses, mpjpe,
-    pck_from_errors, per_joint_error,
+    pck_from_errors,
 )
 from zedo_tpu.ops.procrustes import align_to_gt_batched
 from zedo_tpu.utils.table import Table
@@ -68,6 +68,7 @@ def multi_hypothesis_eval(
     subset_before_align: bool = True,
     with_pck_auc: bool = False,
     with_hypo_std: bool = False,
+    valid_ind=None,
 ) -> EvalReport:
     """Score [N, S, j, 3] hypotheses against [N, j, 3] GT.
 
@@ -87,6 +88,25 @@ def multi_hypothesis_eval(
         preds, gt, protocol2, tuple(joint_subset) if joint_subset is not None else None,
         subset_before_align,
     )
+    if valid_ind is not None:
+        # per-sample hypothesis filtering (the reference's
+        # `if sec_idx not in valid_ind[idx]: continue` — skiPose.py /
+        # mini_rgbd.py / syrip.py eval_multi): invalid hypotheses never win
+        # the min. Accepts an [N, S] boolean mask or a per-sample iterable
+        # of valid hypothesis indices.
+        n, s = errors.shape
+        mask = np.zeros((n, s), bool)
+        vi = np.asarray(valid_ind, dtype=object) \
+            if not isinstance(valid_ind, np.ndarray) else valid_ind
+        if getattr(vi, "dtype", None) == bool and vi.shape == (n, s):
+            mask = np.asarray(vi)
+        else:
+            for i in range(n):
+                mask[i, np.asarray(list(valid_ind[i]), dtype=int)] = True
+        if not mask.any(axis=1).all():
+            raise ValueError("valid_ind leaves some sample with no valid "
+                             "hypothesis")
+        errors = jnp.where(jnp.asarray(mask), errors, jnp.inf)
     min_err, min_arg = min_over_hypotheses(errors)
     per_sample_min = np.asarray(min_err)
     min_idx = np.asarray(min_arg)
@@ -102,6 +122,10 @@ def multi_hypothesis_eval(
             if len(sel):
                 per_action[a] = float(np.mean(sel))
                 means.append(per_action[a])
+        if not means:
+            raise ValueError(
+                f"no samples fall into any action of action_order="
+                f"{list(order)} (got actions {sorted(set(actions.tolist()))})")
         error = float(np.mean(means))
     else:
         error = float(np.mean(per_sample_min))

@@ -118,7 +118,7 @@ class H36MDataset3D(PoseDataset):
             np.asarray(preds), evaluation.gt_from_items(gt_items),
             protocol2=protocol2,
             actions=evaluation.actions_from_items(gt_items),
-            action_order=list(range(2, 17)),
+            action_order=H36M_ACTIONS,
         )
         return report.error
 
@@ -135,6 +135,7 @@ class H36MDataset3D(PoseDataset):
             gt_items = list(gt_items)[::sample_interval]
         report = evaluation.multi_hypothesis_eval(
             preds, evaluation.gt_from_items(gt_items), protocol2=protocol2,
+            valid_ind=valid_ind,
             actions=evaluation.actions_from_items(gt_items),
             action_order=H36M_ACTIONS,
         )

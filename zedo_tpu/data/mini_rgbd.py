@@ -76,7 +76,13 @@ class mini_rgbd(PoseDataset):  # noqa: N801 — reference class name
 
         if self.aug:
             # augmentation poses with random per-sample shrink
-            # (mini_rgbd.py:288-293)
+            # (mini_rgbd.py:288-293). HAZARD (preserved, reference-faithful,
+            # mini_rgbd.py:283-287): when aug lengthens the set, the
+            # reference replaces 2D/K wholesale with zeros_like(pose_3d) —
+            # db_2d becomes all-zero and camera_param becomes a malformed
+            # [N, j, 3] zero tensor instead of [N, 3, 3] intrinsics. Only
+            # the prior TRAINER (which reads db_3d alone) can consume an
+            # aug=True dataset; solve/eval paths must not.
             aug_data = np.load(self.aug_path)
             aug_data = aug_data / self.rng.uniform(0.8, 1.2, (len(aug_data), 1, 1))
             pose_3d = np.concatenate([pose_3d, aug_data.astype(np.float32)], axis=0)
@@ -88,6 +94,14 @@ class mini_rgbd(PoseDataset):  # noqa: N801 — reference class name
         if self.num_joint == 12:
             pose_2d = pose_2d[:, CHANGE_TO_12, :]
             pose_3d = pose_3d[:, CHANGE_TO_12, :]
+            # flip maps in the 12-joint ordering (positions of the H36M-17
+            # left/right joints inside CHANGE_TO_12); the base H36M-17 maps
+            # index up to 16 and would IndexError on 12-joint data. NOTE:
+            # this ordering differs from syrip's CHANGE_12 convention (arms
+            # land at different positions), so ConcatDataset.augment_batch
+            # correctly refuses flip/rot on a mixed mini+syrip set.
+            self.left_joints = [3, 4, 5, 6, 7, 8]
+            self.right_joints = [0, 1, 2, 9, 10, 11]
 
         if self.save_gt_path:
             np.save(self.save_gt_path, pose_3d)
@@ -136,8 +150,7 @@ class mini_rgbd(PoseDataset):  # noqa: N801 — reference class name
         subset = None
         if gt.shape[-2] == 12:
             subset = list(range(1, 7)) + [11]
-        report = evaluation.multi_hypothesis_eval(
-            preds, gt, protocol2=protocol2,
+        report = evaluation.multi_hypothesis_eval(preds, gt, valid_ind=valid_ind, protocol2=protocol2,
             joint_subset=subset, subset_before_align=True,
         )
         print(f"mean MPJPE error: {report.error}")

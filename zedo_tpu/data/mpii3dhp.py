@@ -23,7 +23,6 @@ from zedo_tpu.data import evaluation
 from zedo_tpu.data.base import PoseDataset
 
 ACTION_CONVERTOR = [15, 17, 10, 18, 19, 20, 21]
-DT_LEN = [6030, 6074, 5619, 5826, 253, 491]
 ACTIONS_3DHP = [15, 10, 17, 18, 19, 20, 21]
 MPII_K = [
     {"cx": 1017.3768231769433, "cy": 1043.0617066309674, "fx": 1500.0026763683243, "fy": 1500.653563770609},
@@ -158,6 +157,11 @@ class MPII3DHP(PoseDataset):
         sample_interval strides preds and GT together (see h36m.eval)."""
         print("eval...")
         gt_items = self.gt_dataset
+        if gt_items is None:
+            raise ValueError(
+                "single-hypothesis eval needs the GT pkl branch (gt2d=True); "
+                "the detected-2D dataset carries no gt_dataset — use "
+                "eval_multi, which handles this case")
         if sample_interval is not None:
             preds = preds[::sample_interval]
             gt_items = list(gt_items)[::sample_interval]
@@ -191,6 +195,7 @@ class MPII3DHP(PoseDataset):
                 gt_items = list(gt_items)[::sample_interval]
             report = evaluation.multi_hypothesis_eval(
                 preds, evaluation.gt_from_items(gt_items), protocol2=protocol2,
+                valid_ind=valid_ind,
                 actions=evaluation.actions_from_items(gt_items),
                 action_order=ACTIONS_3DHP, with_pck_auc=True,
                 with_hypo_std=True,
@@ -210,6 +215,6 @@ class MPII3DHP(PoseDataset):
             gt3d = gt3d[::sample_interval]
         preds = preds.copy()
         preds[:, :, 10, :] = gt3d[:, None, 10, :]  # mpii3dHP.py:526
-        report = evaluation.multi_hypothesis_eval(preds, gt3d, protocol2=protocol2)
+        report = evaluation.multi_hypothesis_eval(preds, gt3d, valid_ind=valid_ind, protocol2=protocol2)
         print(report.error)
         return report.error

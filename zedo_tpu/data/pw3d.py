@@ -14,6 +14,7 @@ import numpy as np
 
 from zedo_tpu.data import evaluation
 from zedo_tpu.data.base import PoseDataset
+from zedo_tpu.data.h36m import H36M_ACTIONS
 
 # reference order map: new[order[i]] = old[i] (pw3d.py:76)
 PW3D_ORDER = [5, 2, 6, 3, 11, 14, 12, 15, 13, 16, 1, 4, 8, 10, 0, 7, 9]
@@ -100,7 +101,7 @@ class PW3D(PoseDataset):
             np.asarray(preds), evaluation.gt_from_items(gt_items),
             protocol2=protocol2,
             actions=evaluation.actions_from_items(gt_items),
-            action_order=list(range(2, 17)),
+            action_order=H36M_ACTIONS,
         )
         if print_verbose:
             evaluation.print_action_table(
@@ -127,8 +128,7 @@ class PW3D(PoseDataset):
             gt = gt[::sample_interval]
         gt = gt - gt[:, 0:1]
         subset = JOINTS_14 if joint == 14 else None
-        report = evaluation.multi_hypothesis_eval(
-            preds, gt, protocol2=protocol2,
+        report = evaluation.multi_hypothesis_eval(preds, gt, valid_ind=valid_ind, protocol2=protocol2,
             joint_subset=subset, subset_before_align=False,
         )
         print(f"mean {'PA-MPJPE' if protocol2 else 'MPJPE'} : {report.error}")

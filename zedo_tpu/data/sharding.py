@@ -37,18 +37,24 @@ def pad_batch(arrays: dict | list | tuple, multiple: int, axis: int = 0):
     def pad_one(a):
         a = np.asarray(a)
         n = a.shape[axis]
+        if n == 0:
+            raise ValueError(
+                "pad_batch got an empty batch (0 rows) — nothing to "
+                "edge-replicate; filter produced no samples?")
         target = ((n + multiple - 1) // multiple) * multiple
         if target == n:
             return a
         pad_rows = np.repeat(np.take(a, [-1], axis=axis), target - n, axis=axis)
         return np.concatenate([a, pad_rows], axis=axis)
 
+    values = list(arrays.values()) if isinstance(arrays, dict) else list(arrays)
+    if all(v is None for v in values):
+        raise ValueError("pad_batch got only None arrays")
     if isinstance(arrays, dict):
         padded = {k: pad_one(v) if v is not None else None for k, v in arrays.items()}
-        n = next(np.asarray(v).shape[axis] for v in arrays.values() if v is not None)
     else:
         padded = type(arrays)(pad_one(v) if v is not None else None for v in arrays)
-        n = next(np.asarray(v).shape[axis] for v in arrays if v is not None)
+    n = next(np.asarray(v).shape[axis] for v in values if v is not None)
 
     target = ((n + multiple - 1) // multiple) * multiple
     mask = np.zeros((target,), dtype=np.float32)

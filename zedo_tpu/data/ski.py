@@ -63,6 +63,6 @@ class skiPose(PoseDataset):  # noqa: N801 — reference class name
             preds = preds[::sample_interval]
             gt = gt[::sample_interval]
         gt = gt - gt[:, 0:1]
-        report = evaluation.multi_hypothesis_eval(preds, gt, protocol2=protocol2)
+        report = evaluation.multi_hypothesis_eval(preds, gt, valid_ind=valid_ind, protocol2=protocol2)
         print(f"mean {'PA-MPJPE' if protocol2 else 'MPJPE'} : {report.error}")
         return report.error

@@ -88,6 +88,18 @@ class syrip(PoseDataset):  # noqa: N801 — reference class name
 
         data_3d = data_3d[:, :-2, :]  # drop the two extra SMIL joints (syrip.py:290)
 
+        if self.num_joint != 12:
+            # only the 12-joint convention is coherent for SyRIP: db_2d is
+            # already CHANGE_2D-ordered 12-joint COCO, while db_3d without
+            # the CHANGE_12 reorder stays in raw correct_3D order and
+            # uncentered — the pairs would be silently scrambled (the
+            # reference's default num_joint=17 hits exactly this and
+            # produces garbage correspondences; fail loudly instead)
+            raise ValueError(
+                f"syrip supports num_joint=12 only (got {self.num_joint}): "
+                "its 2D and 3D sources only align after the CHANGE_12 "
+                "reorder + pelvis centering")
+
         if self.num_joint == 12:
             data_2d = data_2d[:, CHANGE_12]
             data_3d = data_3d[:, CHANGE_12]
@@ -127,6 +139,6 @@ class syrip(PoseDataset):  # noqa: N801 — reference class name
         if sample_interval is not None:
             preds = preds[::sample_interval]
             gt = gt[::sample_interval]
-        report = evaluation.multi_hypothesis_eval(preds, gt, protocol2=protocol2)
+        report = evaluation.multi_hypothesis_eval(preds, gt, valid_ind=valid_ind, protocol2=protocol2)
         print(f"mean MPJPE error: {report.error}")
         return report.error
