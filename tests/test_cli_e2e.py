@@ -662,6 +662,16 @@ def test_trainer_dataset_eval(rng):
     ])
     assert trainer.dataset_eval(gt_all, concat, concate=True) < 1e-6
 
+    # N-way concat (the reference hard-codes exactly two members,
+    # train_pose_mini.py:108-110; a 3-way mix used to hit the length assert)
+    c_items = items(3, 6)
+    gt_c = np.array([it["joint_3d_camera"] for it in c_items])
+    gt_all3 = np.concatenate(
+        [gt_all, ((gt_c - gt_c[:, 0:1]) / 1000.0).astype(np.float32)])
+    concat3 = types.SimpleNamespace(datasets=concat.datasets + [
+        types.SimpleNamespace(gt_dataset=c_items)])
+    assert trainer.dataset_eval(gt_all3, concat3, concate=True) < 1e-6
+
     # stride: preds and GT stay paired (both strided inside)
     assert trainer.dataset_eval(gt_m, ds, sample_interval=2) < 1e-6
 

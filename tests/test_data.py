@@ -784,3 +784,132 @@ def test_mpii3dhp_eval_requires_gt_branch(tmp_path, rng):
     ds = MPII3DHP(str(tmp_path), "test", gt2d=False, abs_coord=True)
     with pytest.raises(ValueError, match="GT pkl branch"):
         ds.eval(ds.db_3d[:, None][:, 0])
+
+
+def test_augment_batch_cond_joint_flip(rng):
+    """Conditional-training aug: the flip transforms the 3D pose AND the 2D
+    condition TOGETHER (x-negate + L/R swap on both); flipped-or-not, the
+    (pose, condition) pairing stays consistent row by row, and the rotation
+    aug is never applied on this path (advisor r4: the 3D-only aug trained
+    the conditional model on mismatched pairs)."""
+    from zedo_tpu.data.base import PoseDataset
+
+    x = rng.randn(64, 17, 3).astype(np.float32)
+    c = rng.randn(64, 17, 2).astype(np.float32)
+
+    class DS(PoseDataset):
+        def read_data(self):
+            self.db_2d = np.zeros((64, 17, 2), np.float32)
+            self.db_3d = x
+            self.camera_param = None
+
+    ds = DS(subset="train", flip=True, rot=True)
+    out3, out2 = ds.augment_batch_cond(x.copy(), c.copy(), np.random.RandomState(0))
+    lr = ds.left_joints + ds.right_joints
+    rl = ds.right_joints + ds.left_joints
+    f3 = x.copy(); f3[:, :, 0] *= -1; f3[:, lr] = f3[:, rl]
+    f2 = c.copy(); f2[:, :, 0] *= -1; f2[:, lr] = f2[:, rl]
+    is_orig = np.all(np.isclose(out3, x), axis=(1, 2))
+    is_flip = np.all(np.isclose(out3, f3), axis=(1, 2))
+    assert np.all(is_orig | is_flip)        # NO rotation ever applied
+    assert 8 < is_flip.sum() < 56           # ~p=0.5 per row
+    # the condition flipped on exactly the rows where the pose flipped
+    np.testing.assert_array_equal(out2[is_flip], f2[is_flip])
+    np.testing.assert_array_equal(out2[is_orig], c[is_orig])
+
+    # non-train subsets / flip off: identity on both
+    for ds_id in (DS(subset="test", flip=True, rot=True),
+                  DS(subset="train", flip=False, rot=True)):
+        o3, o2 = ds_id.augment_batch_cond(x, c, np.random.RandomState(1))
+        np.testing.assert_array_equal(o3, x)
+        np.testing.assert_array_equal(o2, c)
+
+    # length mismatch is rejected
+    with pytest.raises(ValueError, match="conditions"):
+        ds.augment_batch_cond(x, c[:5], np.random.RandomState(2))
+
+    # concat delegation (same maps) works; disagreeing maps are rejected
+    from zedo_tpu.data.concat import ConcatDataset
+
+    class DS2(DS):
+        pass
+
+    concat = ConcatDataset([DS(subset="train", flip=True),
+                            DS2(subset="train", flip=True)])
+    o3, o2 = concat.augment_batch_cond(x, c, np.random.RandomState(0))
+    w3, w2 = ds.augment_batch_cond(x, c, np.random.RandomState(0))
+    np.testing.assert_array_equal(o3, w3)
+    np.testing.assert_array_equal(o2, w2)
+
+
+def test_train_loop_cond_uses_joint_aug(tmp_path, rng):
+    """train_loop with condition_data + flip/rot augs routes through
+    augment_batch_cond (joint transform), NOT augment_batch — and the
+    transformed condition is what reaches the step."""
+    import configs.optim.concat_pose_optimization_mini as mini_cfg
+    from zedo_tpu.data.base import PoseDataset
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.train import trainer
+
+    class DS(PoseDataset):
+        def read_data(self):
+            self.db_2d = np.zeros((32, 17, 2), np.float32)
+            self.db_3d = rng.randn(32, 17, 3).astype(np.float32) * 0.1
+            self.camera_param = None
+
+    config = mini_cfg.get_config()
+    config.training.batch_size = 16
+    config.model.num_scales = 20
+    model_cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=32, embed_dim=16, n_blocks=1,
+        group_norm_groups=8, embedding_type="positional", num_scales=20)
+
+    ds = DS(subset="train", flip=True, rot=True)
+    cond = rng.randn(32, 17, 2).astype(np.float32)
+    plain_calls, joint_calls = [], []
+    orig_joint = ds.augment_batch_cond
+    ds.augment_batch = lambda b, r: plain_calls.append(len(b)) or b
+    ds.augment_batch_cond = (
+        lambda b, c, r: joint_calls.append(len(b)) or orig_joint(b, c, r))
+    trainer.train_loop(
+        config, ds, output_dir=str(tmp_path / "cond_aug"),
+        model_cfg=model_cfg, condition_data=cond,
+        trainer_cfg=trainer.TrainerConfig(n_epochs=1, eval_freq=100, seed=0))
+    assert joint_calls == [16, 16]   # every batch through the joint path
+    assert plain_calls == []         # 3D-only aug never touches cond training
+
+    # a dataset that wants augs but has no joint-aug path is refused loudly
+    # (duck-typed datasets: augment_batch alone would desync the condition)
+    stub = types.SimpleNamespace(
+        db_3d=ds.db_3d, flip=True, rot=False,
+        augment_batch=lambda b, r: b)
+    with pytest.raises(ValueError, match="augment_batch_cond"):
+        trainer.train_loop(
+            config, stub, output_dir=str(tmp_path / "bad"),
+            model_cfg=model_cfg, condition_data=cond,
+            trainer_cfg=trainer.TrainerConfig(n_epochs=1, eval_freq=100))
+
+
+def test_valid_ind_bool_rows_are_masks(rng):
+    """A boolean list-of-lists valid_ind is interpreted as per-sample MASKS:
+    True/False used to fall through to the index branch and cast to indices
+    1/0, silently validating the wrong hypotheses (advisor r4)."""
+    n, s = 5, 3
+    gt = rng.randn(n, 17, 3).astype(np.float32)
+    preds = np.stack([gt + 0.01 * (h + 1) for h in range(s)], axis=1)
+    # mask rows excluding hypothesis 0 (the best) — as plain Python lists
+    rows = [[False, True, True]] * n
+    filt = evaluation.multi_hypothesis_eval(preds, gt, valid_ind=rows)
+    assert np.all(filt.min_hypothesis == 1)
+    want = evaluation.multi_hypothesis_eval(preds, gt, valid_ind=[[1, 2]] * n)
+    assert filt.error == want.error
+    # mixed bool/index rows are rejected, as are wrong-length masks
+    with pytest.raises(ValueError, match="mask"):
+        evaluation.multi_hypothesis_eval(
+            preds, gt, valid_ind=[[True, True, True]] * (n - 1) + [[1, 2]])
+    with pytest.raises(ValueError, match="mask"):
+        evaluation.multi_hypothesis_eval(
+            preds, gt, valid_ind=[[True, True]] * n)
+    # non-integer index rows are rejected instead of truncated
+    with pytest.raises(ValueError, match="integer"):
+        evaluation.multi_hypothesis_eval(preds, gt, valid_ind=[[1.5]] * n)

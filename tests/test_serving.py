@@ -117,3 +117,32 @@ def test_estimator_predict_on_mesh(tmp_path, rng):
             config_path=str(cfg_file), hypo=2, dtype="fp32", batch_bucket=12,
             mesh="auto",
         )
+
+
+def test_estimator_direct_construction_validates_mesh():
+    """Mesh/bucket validation runs in __post_init__, so building
+    ZeDOEstimator directly (bypassing from_torch_checkpoint) fails at
+    construction, not later inside solve_sharded (advisor r4)."""
+    import pytest
+
+    from zedo_tpu.serving import ZeDOEstimator
+
+    def build(**kw):
+        return ZeDOEstimator(
+            params={}, model_cfg=None, sde=None, sampler=None, zcfg=None,
+            clusters=np.zeros((1, 17, 3), np.float32), precision=None, **kw)
+
+    with pytest.raises(ValueError, match="divisible"):
+        build(batch_bucket=12, mesh="auto")  # 8 devices, 12 % 8 != 0
+
+    from jax.sharding import Mesh
+    import jax
+
+    bad_axis = Mesh(np.array(jax.devices()), ("batch",))
+    with pytest.raises(ValueError, match="'data' axis"):
+        build(batch_bucket=16, mesh=bad_axis)
+
+    # string specs resolve on the direct path too
+    est = build(batch_bucket=16, mesh="dp4")
+    assert est.mesh is not None and est.mesh.devices.size == 4
+    assert build(batch_bucket=16, mesh="off").mesh is None

@@ -243,6 +243,39 @@ class PoseDataset:
             out = np.where(do[:, None, None], rotated, out)
         return out.astype(batch_3d.dtype, copy=False)
 
+    def augment_batch_cond(self, batch_3d: np.ndarray, cond2d: np.ndarray,
+                           rng: np.random.RandomState):
+        """Flip aug for CONDITIONAL training: the x-negate + L/R joint swap
+        is applied to the 3D pose AND its 2D condition together, so the
+        condition keeps describing the pose (the condition lives in the ±1
+        normalized image frame — normalize_data — where a horizontal image
+        flip about the canvas center is exactly x-negation). The 3D-rotation
+        aug has no 2D counterpart without re-projection and is skipped here;
+        run.train_pose_mini logs that (advisor r4 medium: augmenting only the
+        3D batch silently trains the conditional model on mismatched pairs).
+        Returns (batch_3d, cond2d)."""
+        if self.subset != "train" or not self.flip:
+            return batch_3d, cond2d
+        out = np.asarray(batch_3d).copy()
+        cond = np.asarray(cond2d).copy()
+        n = len(out)
+        if len(cond) != n:
+            raise ValueError(
+                f"augment_batch_cond: {n} poses but {len(cond)} conditions")
+        do = rng.rand(n) < 0.5
+        lr = self.left_joints + self.right_joints
+        rl = self.right_joints + self.left_joints
+        f3 = out.copy()
+        f3[:, :, 0] *= -1
+        f3[:, lr] = f3[:, rl]
+        f2 = cond.copy()
+        f2[:, :, 0] *= -1
+        f2[:, lr] = f2[:, rl]
+        out = np.where(do[:, None, None], f3, out)
+        cond = np.where(do[:, None, None], f2, cond)
+        return (out.astype(batch_3d.dtype, copy=False),
+                cond.astype(cond2d.dtype, copy=False))
+
     def add_noise(self, pose2d, std=5, noise_type="gaussian"):
         """Synthetic 2D noise (h36m.py:183-196)."""
         if noise_type == "gaussian":

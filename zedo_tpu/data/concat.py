@@ -39,13 +39,9 @@ class ConcatDataset:
             idx -= n
         raise IndexError(idx)
 
-    def augment_batch(self, batch_3d, rng):
-        """Batch flip/rotate augs; valid because the concat use-case
-        (mini + syrip at one joint convention) shares the flip joint maps —
-        asserted, not assumed."""
+    def _aug_delegate(self):
+        """Members must agree on flip/rot joint maps for batch-level augs."""
         d0 = self.datasets[0]
-        if not hasattr(d0, "augment_batch"):
-            return batch_3d
         for d in self.datasets[1:]:
             if not (d.left_joints == d0.left_joints
                     and d.right_joints == d0.right_joints
@@ -55,4 +51,20 @@ class ConcatDataset:
                 raise ValueError(
                     "concat members disagree on flip/rot joint maps; "
                     "per-member batch augmentation is not supported")
-        return d0.augment_batch(batch_3d, rng)
+        return d0
+
+    def augment_batch(self, batch_3d, rng):
+        """Batch flip/rotate augs; valid because the concat use-case
+        (mini + syrip at one joint convention) shares the flip joint maps —
+        asserted, not assumed."""
+        d0 = self.datasets[0]
+        if not hasattr(d0, "augment_batch"):
+            return batch_3d
+        return self._aug_delegate().augment_batch(batch_3d, rng)
+
+    def augment_batch_cond(self, batch_3d, cond2d, rng):
+        """Joint (pose, condition) flip aug — see PoseDataset.augment_batch_cond."""
+        d0 = self.datasets[0]
+        if not hasattr(d0, "augment_batch_cond"):
+            return batch_3d, cond2d
+        return self._aug_delegate().augment_batch_cond(batch_3d, cond2d, rng)

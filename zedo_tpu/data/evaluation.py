@@ -95,14 +95,35 @@ def multi_hypothesis_eval(
         # the min. Accepts an [N, S] boolean mask or a per-sample iterable
         # of valid hypothesis indices.
         n, s = errors.shape
-        mask = np.zeros((n, s), bool)
-        vi = np.asarray(valid_ind, dtype=object) \
-            if not isinstance(valid_ind, np.ndarray) else valid_ind
-        if getattr(vi, "dtype", None) == bool and vi.shape == (n, s):
+        vi = valid_ind
+        if isinstance(vi, np.ndarray) and vi.dtype == bool and vi.shape == (n, s):
             mask = np.asarray(vi)
         else:
-            for i in range(n):
-                mask[i, np.asarray(list(valid_ind[i]), dtype=int)] = True
+            rows = [np.asarray(list(vi[i])) for i in range(n)]
+            if any(r.dtype == np.bool_ for r in rows):
+                # boolean rows are per-sample MASKS, never index lists:
+                # casting True/False to indices 1/0 would silently mark the
+                # wrong hypotheses valid (advisor r4)
+                if not all(r.dtype == np.bool_ and r.shape == (s,) for r in rows):
+                    raise ValueError(
+                        "valid_ind mixes boolean mask rows with index rows "
+                        f"(or a mask row is not length S={s}); supply either "
+                        "an [N, S] boolean mask or per-sample index lists")
+                mask = np.stack(rows)
+            else:
+                # vectorized scatter of the ragged index lists
+                mask = np.zeros((n, s), bool)
+                lens = np.fromiter((len(r) for r in rows), dtype=np.int64,
+                                   count=n)
+                if lens.sum():
+                    flat = np.concatenate([r for r in rows if len(r)])
+                    if not np.issubdtype(flat.dtype, np.integer):
+                        fi = flat.astype(np.int64)
+                        if not np.array_equal(fi, flat):
+                            raise ValueError(
+                                "valid_ind index rows must be integers")
+                        flat = fi
+                    mask[np.repeat(np.arange(n), lens), flat] = True
         if not mask.any(axis=1).all():
             raise ValueError("valid_ind leaves some sample with no valid "
                              "hypothesis")

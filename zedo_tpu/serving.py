@@ -40,9 +40,29 @@ class ZeDOEstimator:
     seed: int = 0
     # jax.sharding.Mesh for multi-chip serving: the padded batch is sharded
     # over the mesh's 'data' axis (pipeline.solve_sharded — collective-free,
-    # so request latency is flat and throughput scales with chips). None =
+    # so request latency is flat and throughput scales with chips). Also
+    # accepts a mesh_from_spec string ('auto', 'off', 'dpN', ...). None =
     # single-program
     mesh: object = None
+
+    def __post_init__(self):
+        # validate on EVERY construction path, not just from_torch_checkpoint
+        # — a direct ZeDOEstimator(...) with a bad mesh would otherwise fail
+        # later inside solve_sharded with an opaque shard_map/padding error
+        # (advisor r4)
+        if isinstance(self.mesh, str):
+            from zedo_tpu.parallel.mesh import mesh_from_spec
+
+            self.mesh = mesh_from_spec(self.mesh)
+        if self.mesh is not None:
+            if "data" not in self.mesh.axis_names:
+                raise ValueError(
+                    f"serving mesh needs a 'data' axis, got {self.mesh.axis_names}")
+            n_data = self.mesh.shape["data"]
+            if self.batch_bucket % n_data:
+                raise ValueError(
+                    f"batch_bucket {self.batch_bucket} must be divisible by "
+                    f"the mesh data-axis size {n_data}")
 
     @classmethod
     def from_torch_checkpoint(
@@ -95,20 +115,8 @@ class ZeDOEstimator:
             lambda x: x, config.ZeDO.sampling_eps,
         )
         zcfg = pipeline.ZeDOConfig.from_config(config)
-        if isinstance(mesh, str):
-            # any mesh_from_spec string works ('auto', 'off', 'dp4', ...)
-            from zedo_tpu.parallel.mesh import mesh_from_spec
-
-            mesh = mesh_from_spec(mesh)
-        if mesh is not None:
-            if "data" not in mesh.axis_names:
-                raise ValueError(
-                    f"serving mesh needs a 'data' axis, got {mesh.axis_names}")
-            n_data = mesh.shape["data"]
-            if batch_bucket % n_data:
-                raise ValueError(
-                    f"batch_bucket {batch_bucket} must be divisible by the "
-                    f"mesh data-axis size {n_data}")
+        # mesh string resolution + validation live in __post_init__ so every
+        # construction path gets them
         return cls(params=params, model_cfg=model_cfg, sde=sde, sampler=sampler,
                    zcfg=zcfg, clusters=clusters, precision=precision,
                    batch_bucket=batch_bucket, mesh=mesh)

@@ -38,7 +38,9 @@ def dataset_eval(preds, dataset, protocol2=False, print_verbose=False,
     sample_interval strides preds and GT together (see h36m.eval)."""
     print("eval...")
     if concate:
-        gt_items = dataset.datasets[0].gt_dataset + dataset.datasets[1].gt_dataset
+        # any number of members (the reference handles exactly two,
+        # train_pose_mini.py:108-110; a 3-way mix hit the length assert here)
+        gt_items = [g for d in dataset.datasets for g in d.gt_dataset]
     else:
         gt_items = dataset.gt_dataset
     assert len(preds) == len(gt_items)
@@ -346,6 +348,7 @@ def train_loop(
     if augment is not None and not _wants_aug(dataset):
         augment = None
     n = len(data_3d)
+    augment_cond = None
     if condition_data is not None:
         condition_data = np.asarray(condition_data, np.float32)
         if len(condition_data) != n:
@@ -353,6 +356,28 @@ def train_loop(
                 f"condition_data has {len(condition_data)} rows but db_3d "
                 f"has {n} — conditions must align 1:1 with training poses "
                 f"(augmentation rows carry no 2D; see --model cond)")
+        if augment is not None:
+            # conditional training must transform the 2D condition together
+            # with the 3D pose — flipping/rotating the batch alone trains on
+            # mismatched (pose, condition) pairs (advisor r4 medium). The
+            # flip aug has an exact 2D counterpart (x-negate + L/R swap in
+            # the normalized image frame, augment_batch_cond); the 3D
+            # rotation has none without re-projection and is skipped.
+            augment_cond = getattr(dataset, "augment_batch_cond", None)
+            if augment_cond is None:
+                raise ValueError(
+                    "conditional training with augmentation requires the "
+                    "dataset to provide augment_batch_cond (joint pose + "
+                    "condition flip); plain augment_batch would desync the "
+                    "condition from the pose")
+            def _wants_rot(ds):
+                return (getattr(ds, "rot", False)
+                        or any(_wants_rot(m) for m in getattr(ds, "datasets", [])))
+            if _wants_rot(dataset):
+                log("conditional training: the 3D-rotation aug has no 2D "
+                    "counterpart — only the flip aug is applied (jointly to "
+                    "pose and condition)")
+            augment = None  # replaced by the joint path below
     batch_size = min(config.training.batch_size, n)
     if mesh is not None:
         # the batch is device_put to P('data'): keep it divisible by the
@@ -476,15 +501,19 @@ def train_loop(
                 continue  # trained before preemption; split keeps RNG aligned
             idx = perm[i * batch_size : (i + 1) * batch_size]
             batch_np = data_3d[idx]
+            cond_np = condition_data[idx] if condition_data is not None else None
             if augment is not None:
                 # stateless per-step stream: resume-skip and eval epochs
                 # can't desynchronize the augmentation draws
                 batch_np = augment(
                     batch_np,
                     np.random.RandomState([trainer_cfg.seed, epoch, i]))
+            elif augment_cond is not None:
+                batch_np, cond_np = augment_cond(
+                    batch_np, cond_np,
+                    np.random.RandomState([trainer_cfg.seed, epoch, i]))
             batch = jnp.asarray(batch_np)
-            cond = (jnp.asarray(condition_data[idx])
-                    if condition_data is not None else None)
+            cond = jnp.asarray(cond_np) if cond_np is not None else None
             if batch_sharding is not None:
                 batch = jax.device_put(batch, batch_sharding)
                 if cond is not None:

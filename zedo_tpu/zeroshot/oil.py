@@ -231,13 +231,16 @@ def _auto_tile(b: int, candidates=(512, 256, 128)) -> int:
 
 
 def _pallas_eligible(params, model_cfg) -> bool:
-    """Kernel contract: 2 blocks, lane-aligned hidden, bf16 weights, TPU."""
+    """Kernel contract: 2 blocks, lane-aligned hidden, bf16 weights, and a
+    TPU-class backend (capability probe, not a platform-name allowlist —
+    utils.config.is_tpu_like)."""
     if model_cfg.n_blocks != 2 or model_cfg.hidden_dim % 128 != 0:
         return False
     if params["post_dense"]["weight"].dtype != jnp.bfloat16:
         return False
-    platform = jax.devices()[0].platform
-    return platform in ("tpu", "axon", "proxy")
+    from zedo_tpu.utils.config import is_tpu_like
+
+    return is_tpu_like()
 
 
 def _run_oil_fast(
