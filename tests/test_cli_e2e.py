@@ -1300,7 +1300,12 @@ def test_infant_cli_cond_condition_injected(tmp_path, rng, monkeypatch, capsys):
     """--cond: the conditional model receives the REAL ±1-normalized 2D
     keypoints at every score evaluation (condition=None would re-express
     inside apply to cond = batch.xy, the 'strong fake condition' the
-    model's docstring warns about — package review r4)."""
+    model's docstring warns about — package review r4).
+
+    Since r5 the infant CLI solves on the device mesh: the condition is a
+    SHARDED operand of solve_infant_sharded (not a full-batch closure), so
+    each score eval sees its local shard and the concrete values are checked
+    on the padded operand handed to the sharded solve."""
     import types as _types
 
     import jax
@@ -1336,6 +1341,17 @@ def test_infant_cli_cond_condition_injected(tmp_path, rng, monkeypatch, capsys):
         return orig_apply(p, cfg, x, labels, condition, mask, **kw)
 
     monkeypatch.setattr(score_mlp_cond, "apply", recording_apply)
+
+    from zedo_tpu.zeroshot import infant as infant_lib
+
+    solve_calls = []
+    orig_sharded = infant_lib.solve_infant_sharded
+
+    def recording_sharded(mesh, *a, condition=None, **kw):
+        solve_calls.append((mesh, condition))
+        return orig_sharded(mesh, *a, condition=condition, **kw)
+
+    monkeypatch.setattr(infant_lib, "solve_infant_sharded", recording_sharded)
     monkeypatch.setattr(infant_cli, "FLAGS",
                         _types.SimpleNamespace(config=config))
     args = _types.SimpleNamespace(
@@ -1350,22 +1366,31 @@ def test_infant_cli_cond_condition_injected(tmp_path, rng, monkeypatch, capsys):
     assert seen, "conditional model never invoked"
     assert all(c is not None for c in seen), (
         "conditional model was scored with condition=None at inference")
+    # each score eval sees its LOCAL shard of the condition: N=5 padded to
+    # the mesh size, divided over the data axis
+    assert len(solve_calls) == 1
+    mesh, cond_operand = solve_calls[0]
+    n_dev = mesh.devices.size
+    padded_n = ((5 + n_dev - 1) // n_dev) * n_dev
+    local_n = padded_n // n_dev
     for c in seen:
-        assert tuple(c.shape) == (5, 17, 2), c.shape
-    # the injected condition is EXACTLY the ±1-normalized 2D of the eval
-    # scene (closed-over constant, so it reaches apply concretely even
-    # under jit; a tracer here means the wrapper regressed — fail loudly)
+        assert tuple(c.shape) == (local_n, 17, 2), c.shape
+    # the injected condition operand is EXACTLY the ±1-normalized 2D of the
+    # eval scene (real rows; pad rows are edge-replicated)
     from zedo_tpu.data.base import normalize_data
 
     _, test_ds = infant_cli.get_datasets(config)
     want_cond = normalize_data(
         np.asarray(test_ds.db_2d, np.float32)[:, :, :2])
-    try:
-        got = np.asarray(seen[0])
-    except Exception as e:
-        pytest.fail(f"recorded condition is not concrete: {e}")
+    assert cond_operand is not None, (
+        "--cond did not pass a condition operand to the sharded solve")
+    got = np.asarray(cond_operand)
+    assert got.shape == (padded_n, 17, 2)
     assert np.abs(got).sum() > 0, "condition degraded to the zeroed null"
-    np.testing.assert_allclose(got, want_cond, atol=1e-6)
+    np.testing.assert_allclose(got[:5], want_cond, atol=1e-6)
+    np.testing.assert_allclose(got[5:], np.repeat(want_cond[-1:],
+                                                  padded_n - 5, axis=0),
+                               atol=1e-6)
 
 
 def test_train_cli_rejects_cond_aug_and_h36m_aug(tmp_path, rng, monkeypatch):

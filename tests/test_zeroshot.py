@@ -323,6 +323,25 @@ def test_solve_sharded_matches_single_device(rng):
         np.asarray(single.poses), np.asarray(sharded.poses), atol=1e-5, rtol=1e-5
     )
 
+    # track_reproj through the mesh: the per-step mean trace is the pmean of
+    # the equal shards' local means and must match the single-program trace
+    # (it used to raise NotImplementedError — VERDICT r4 next #7)
+    import dataclasses
+
+    zcfg_tr = dataclasses.replace(
+        zcfg, oil=dataclasses.replace(zcfg.oil, track_reproj=True))
+    single_tr = pipeline.solve(params, cfg_m, sde, sampler, zcfg_tr, *args)
+    sharded_tr = pipeline.solve_sharded(
+        mesh, params, cfg_m, sde, sampler, zcfg_tr, *args)
+    assert sharded_tr.reproj_px is not None
+    assert sharded_tr.reproj_px.shape == (2, 10)  # [S, steps]
+    np.testing.assert_allclose(np.asarray(single_tr.reproj_px),
+                               np.asarray(sharded_tr.reproj_px),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(single.poses),
+                               np.asarray(sharded_tr.poses),
+                               atol=1e-5, rtol=1e-5)
+
 
 def test_auto_tile_minimizes_padding():
     """pallas_tile=None picks the padding-minimal tile (largest on ties):
@@ -424,3 +443,57 @@ def test_oil_reproj_trace_decreases(rng):
     trace_g = np.asarray(res_g.reproj_px)
     assert trace_g.shape == (30,) and np.isfinite(trace_g).all()
     assert trace_g[-1] < 0.5 * trace_g[0]
+
+
+def test_oil_score_reuse_generic_path(rng):
+    """score_reuse on the GENERIC registry path (VERDICT r4 next #5):
+
+    (a) at reuse=2 the generic EM-PF path matches the fast path's reuse=2
+        exactly (both carry the raw network output and refresh the std each
+        step — split_score_fn is the fast path's decomposition);
+    (b) a ControlNet adapter model — which can only take the generic path —
+        gets the NFE knob, with a bounded deviation from its own exact
+        dynamics (the characterization gate the fast path shipped with);
+    (c) reuse=1 on the generic path is unchanged (no frozen-output carry).
+    """
+    import dataclasses
+
+    from zedo_tpu.models import control_mlp
+
+    k, pose, t_true, px = _scene(rng, n=4)
+    cfg_m, _, params = _tiny_model_and_params()
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    x0 = (pose + 0.05).astype(np.float32)
+    base_cfg = oil_lib.OILConfig(iterations=12, sampling_eps=0.01, fixed_t_steps=5)
+
+    def run(sampler, oil_cfg, prm=params, model_apply=None):
+        return np.asarray(oil_lib.run_oil(
+            prm, cfg_m, sde, sampler, jnp.asarray(x0), jnp.asarray(t_true),
+            jnp.asarray(px), jnp.asarray(k), None, oil_cfg,
+            rng=jax.random.PRNGKey(0), model_apply=model_apply).pose)
+
+    fast = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                     probability_flow=True, denoise=True, eps=0.01)
+    generic = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=True, denoise=False, eps=0.01)
+    assert oil_lib._fast_supported(sde, fast)
+    assert not oil_lib._fast_supported(sde, generic)
+
+    # (a) fast reuse-2 == generic reuse-2 (PF makes denoise a no-op)
+    cfg2 = dataclasses.replace(base_cfg, score_reuse=2)
+    np.testing.assert_allclose(run(fast, cfg2), run(generic, cfg2),
+                               atol=1e-4, rtol=1e-3)
+
+    # (c) reuse=1 generic still matches fast exactly (unchanged behavior)
+    np.testing.assert_allclose(run(fast, base_cfg), run(generic, base_cfg),
+                               atol=1e-4, rtol=1e-3)
+
+    # (b) adapter model: reuse-2 bounded against its own exact dynamics
+    ctrl_params = control_mlp.init_params(jax.random.PRNGKey(1), cfg_m)
+    exact = run(fast, base_cfg, prm=ctrl_params, model_apply=control_mlp.apply)
+    reused = run(fast, cfg2, prm=ctrl_params, model_apply=control_mlp.apply)
+    d = np.abs(exact - reused)
+    assert np.isfinite(d).all()
+    assert d.mean() < 0.05  # same bound as the fast-path characterization
+    # and the adapter really took the generic path with reuse accepted
+    # (before r5 this raised NotImplementedError)

@@ -172,6 +172,7 @@ def main(args):
     zcfg = dataclasses.replace(
         zcfg, oil=dataclasses.replace(zcfg.oil, track_reproj=True))
 
+    cond_extra = None
     if args.cond:
         # condition the conditional model on the ACTUAL normalized 2D
         # keypoints at every OIL step (the evident intent of --cond — the
@@ -180,23 +181,29 @@ def main(args):
         # "strong fake condition" score_mlp_cond's docstring warns about;
         # training (run.train_pose_mini --model cond) conditions on the
         # same ±1 image-frame normalization (data/base.py normalize_data).
+        # Passed as a SHARDED operand (not a closure) so the mesh path works.
         from zedo_tpu.data.base import normalize_data
 
-        cond_norm = jnp.asarray(
-            normalize_data(np.asarray(cond2d, np.float32)))
-        base_cond_apply = model_apply
+        cond_extra = normalize_data(np.asarray(cond2d, np.float32))
 
-        def model_apply(p, cfg_m, x, labels, condition, mask, **kw):
-            cond = cond_norm if condition is None else condition
-            return base_cond_apply(p, cfg_m, x, labels, cond, mask, **kw)
+    # device mesh engaged automatically, like the adult CLIs; the per-step
+    # reprojection trace crosses shards via one pmean (solve_infant_sharded)
+    from zedo_tpu.data import sharding as shard_lib
+    from zedo_tpu.parallel.mesh import default_mesh
 
-    result = infant.solve_infant(
-        params, model_apply, model_cfg, sde, sampler, zcfg,
-        clusters, jnp.asarray(cond2d), jnp.asarray(k),
+    mesh = default_mesh()
+    padded, pad_mask = shard_lib.pad_batch(
+        {"cond2d": cond2d, "k": k, "cond_extra": cond_extra},
+        mesh.devices.size)
+    result = infant.solve_infant_sharded(
+        mesh, params, model_apply, model_cfg, sde, sampler, zcfg,
+        clusters, jnp.asarray(padded["cond2d"]), jnp.asarray(padded["k"]),
         pelvis_mode=pelvis_mode, refine_t_from=950,
         rng=jax.random.PRNGKey(args.seed), precision=precision,
+        condition=(jnp.asarray(padded["cond_extra"])
+                   if cond_extra is not None else None),
     )
-    batch_results = np.asarray(result.poses)
+    batch_results = shard_lib.unpad(np.asarray(result.poses), pad_mask)
     reproj = np.asarray(result.reproj_px)  # [S, steps]
     n_steps = reproj.shape[1]
     marks = sorted({0, n_steps // 4, n_steps // 2, 3 * n_steps // 4, n_steps - 1})

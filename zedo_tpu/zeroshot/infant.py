@@ -156,3 +156,75 @@ def solve_infant(
         translations=jnp.swapaxes(result.translation, 0, 1),
         reproj_px=result.reproj_px if cfg.oil.track_reproj else None,
     )
+
+
+def solve_infant_sharded(
+    mesh, params, model_apply, model_cfg, sde, sampler, cfg,
+    cluster_poses, cond2d, k,
+    pelvis_mode="joint0", refine_t_from=950, rng=None, precision=None,
+    condition=None, data_axis: str = "data",
+) -> SolveResult:
+    """Multi-chip infant solve (mirror of pipeline.solve_sharded, which see).
+
+    `condition`: optional per-sample model condition [N, j, c] (the --cond
+    CLI's normalized 2D keypoints), sharded with the batch; inside each shard
+    it is substituted wherever the sampler passes condition=None — a
+    full-batch closure (the single-program CLI pattern) would shape-mismatch
+    against the local shard. With OILConfig.track_reproj the [S, steps] trace
+    is cross-shard-averaged by one pmean (equal shards — pad N first with
+    data.sharding.pad_batch; note edge-replicated pad rows participate in the
+    diagnostic mean). Traced per call — CLIs solve once per run, and
+    model_apply wrappers are per-run objects no lru_cache key could hold.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(data_axis))
+    cond2d = jax.device_put(cond2d, batch)
+    k = jax.device_put(k, batch)
+    params = jax.device_put(params, repl)
+    cluster_poses = jax.device_put(cluster_poses, repl)
+    if condition is not None:
+        condition = jax.device_put(condition, batch)
+
+    bspec, rspec = P(data_axis), P()
+
+    def _post(res: SolveResult) -> SolveResult:
+        if not cfg.oil.track_reproj:
+            return res
+        return SolveResult(
+            poses=res.poses, translations=res.translations,
+            reproj_px=jax.lax.pmean(res.reproj_px, axis_name=data_axis))
+
+    def _run(prm, clusters, c2d, kk, r, apply_fn):
+        return _post(solve_infant(
+            prm, apply_fn, model_cfg, sde, sampler, cfg, clusters, c2d, kk,
+            pelvis_mode=pelvis_mode, refine_t_from=refine_t_from, rng=r,
+            precision=precision))
+
+    if condition is None:
+        def shard_fn(prm, clusters, c2d, kk, r):
+            return _run(prm, clusters, c2d, kk, r, model_apply)
+
+        in_specs = (rspec, rspec, bspec, bspec, rspec)
+        args = (params, cluster_poses, cond2d, k, rng)
+    else:
+        def shard_fn(prm, clusters, c2d, kk, cond_local, r):
+            def apply_fn(p, cfg_m, x, labels, cond_arg, mask, **kw):
+                eff = cond_local if cond_arg is None else cond_arg
+                return model_apply(p, cfg_m, x, labels, eff, mask, **kw)
+
+            return _run(prm, clusters, c2d, kk, r, apply_fn)
+
+        in_specs = (rspec, rspec, bspec, bspec, bspec, rspec)
+        args = (params, cluster_poses, cond2d, k, condition, rng)
+
+    out_specs = (
+        SolveResult(poses=bspec, translations=bspec, reproj_px=rspec)
+        if cfg.oil.track_reproj
+        else SolveResult(poses=bspec, translations=bspec))
+    mapped = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+    return jax.jit(mapped)(*args)

@@ -210,15 +210,6 @@ def run_oil(
             params, model_cfg, sde, geo, x0, t0, timestamps, cfg, precision,
             reproj_fn,
         )
-    if cfg.score_reuse > 1:
-        # reuse is characterized for the exact deterministic fast path only;
-        # with correctors / other predictors / custom models the NFE saving
-        # is not implemented — fail loudly instead of silently ignoring it
-        raise NotImplementedError(
-            "score_reuse > 1 requires the fast path (sub-VP SDE, "
-            "euler_maruyama predictor, no corrector, probability_flow, "
-            "standard ScoreMLP); this configuration takes the generic path"
-        )
     return _run_oil_generic(
         params, model_cfg, sde, sampler, geo, x0, t0, timestamps, cfg, rng,
         precision, model_apply or score_mlp.apply, reproj_fn,
@@ -350,7 +341,17 @@ def _run_oil_generic(
     reproj_fn=lambda x, t: jnp.float32(0.0),
 ) -> OILResult:
     """Any predictor/corrector via the registry; one zedo_pc_step per
-    iteration (matches sampling.py:450-527 semantics exactly)."""
+    iteration (matches sampling.py:450-527 semantics exactly at
+    score_reuse=1).
+
+    score_reuse > 1 (the NFE knob, available to ControlNet/cond adapter
+    models since r5): the raw network output is evaluated every k-th step
+    via lax.cond and held in the scan carry in between; each step the frozen
+    output is converted to a score with the CURRENT std
+    (diffusion.score.split_score_fn — the same decomposition the fast path
+    uses). Within a reused step the corrector sees the frozen output too
+    (a langevin corrector's inner refinements reuse it), which is the stated
+    approximation; at k=1 nothing is frozen and dynamics are exact."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
@@ -360,22 +361,64 @@ def _run_oil_generic(
 
     score_fn = get_score_fn(sde, model_fn, continuous=sampler.continuous)
     resolve = jnp.arange(cfg.iterations) >= cfg.n_fixed
+    reuse = max(1, cfg.score_reuse)
+
+    if reuse == 1:
+
+        def body(carry, xs):
+            x, t_cur = carry
+            t_i, resolve_i, i = xs
+            reproj = reproj_fn(x, t_cur)
+            t_new = solve_translation_fast(geo, x)
+            t_cur = jnp.where(resolve_i, t_new, t_cur)
+            grad = ray_gradient(geo, x, t_cur)
+            x = x + grad
+            step_rng = jax.random.fold_in(rng, i)
+            x_next, x_mean = sampler.zedo_pc_step(score_fn, step_rng, x, t_i)
+            x = x_mean if sampler.denoise else x_next
+            return (x, t_cur), (jnp.mean(jnp.linalg.norm(grad, axis=-1)), reproj)
+
+        (x, t_final), (grad_norms, reproj_px) = jax.lax.scan(
+            body, (x0, t0), (timestamps, resolve, jnp.arange(cfg.iterations))
+        )
+        return OILResult(pose=x, translation=t_final, grad_norms=grad_norms,
+                         reproj_px=reproj_px)
+
+    from zedo_tpu.diffusion.score import split_score_fn
+
+    eval_fn, score_from_out = split_score_fn(
+        sde, model_fn, continuous=sampler.continuous)
+    eval_mask = (jnp.arange(cfg.iterations) % reuse) == 0
 
     def body(carry, xs):
-        x, t_cur = carry
-        t_i, resolve_i, i = xs
+        x, t_cur, out_prev = carry
+        t_i, resolve_i, eval_i, i = xs
         reproj = reproj_fn(x, t_cur)
         t_new = solve_translation_fast(geo, x)
         t_cur = jnp.where(resolve_i, t_new, t_cur)
         grad = ray_gradient(geo, x, t_cur)
         x = x + grad
-        step_rng = jax.random.fold_in(rng, i)
-        x_next, x_mean = sampler.zedo_pc_step(score_fn, step_rng, x, t_i)
-        x = x_mean if sampler.denoise else x_next
-        return (x, t_cur), (jnp.mean(jnp.linalg.norm(grad, axis=-1)), reproj)
+        vec_t = jnp.broadcast_to(jnp.asarray(t_i, x.dtype), (x.shape[0],))
+        # batch-uniform predicate (pure step index): lax.cond stays a real
+        # branch even under the hypothesis vmap, so skipped steps cost no NFE
+        out = jax.lax.cond(
+            eval_i,
+            lambda x_: eval_fn(x_, vec_t).astype(x_.dtype),
+            lambda x_: out_prev,
+            x,
+        )
 
-    (x, t_final), (grad_norms, reproj_px) = jax.lax.scan(
-        body, (x0, t0), (timestamps, resolve, jnp.arange(cfg.iterations))
+        def frozen_score_fn(x_, t_, condition=None, mask=None):
+            return score_from_out(out, x_, t_)
+
+        step_rng = jax.random.fold_in(rng, i)
+        x_next, x_mean = sampler.zedo_pc_step(frozen_score_fn, step_rng, x, t_i)
+        x = x_mean if sampler.denoise else x_next
+        return (x, t_cur, out), (jnp.mean(jnp.linalg.norm(grad, axis=-1)), reproj)
+
+    (x, t_final, _), (grad_norms, reproj_px) = jax.lax.scan(
+        body, (x0, t0, jnp.zeros_like(x0)),
+        (timestamps, resolve, eval_mask, jnp.arange(cfg.iterations)),
     )
     return OILResult(pose=x, translation=t_final, grad_norms=grad_norms,
                      reproj_px=reproj_px)

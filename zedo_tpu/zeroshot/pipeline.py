@@ -175,10 +175,13 @@ def solve_sharded(
     model_apply=None,
 ) -> SolveResult:
     """Multi-chip solve: shard the pose batch N over `data_axis` of `mesh`
-    via `shard_map`, replicate weights and cluster poses. No collectives are
-    needed inside (poses are independent); shard_map guarantees the whole
+    via `shard_map`, replicate weights and cluster poses. The poses need no
+    collectives (independent per sample); shard_map guarantees the whole
     per-shard program — including the fused pallas kernel, which GSPMD
     cannot partition through a custom call — runs independently per device.
+    With OILConfig.track_reproj the per-step mean reprojection trace is
+    cross-shard-averaged by one pmean ([S, steps] scalars, ICI-cheap), so the
+    infant CLI's diagnostic works on a mesh too.
 
     N must be divisible by the mesh data-axis size — use
     data.sharding.pad_batch (the DistributedEvalSampler replacement,
@@ -186,14 +189,6 @@ def solve_sharded(
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    if cfg.oil.track_reproj:
-        # the trace is a cross-shard mean ([S, steps], no batch axis), which
-        # shard_map cannot express as an out_spec without a collective; the
-        # diagnostic is a single-program feature (infant CLI / solve)
-        raise NotImplementedError(
-            "track_reproj is not supported through solve_sharded; "
-            "use pipeline.solve / solve_infant"
-        )
     if rng is None:
         rng = jax.random.PRNGKey(0)
     repl = NamedSharding(mesh, P())
@@ -223,24 +218,41 @@ def _sharded_solve_fn(mesh, data_axis, has_conf, model_cfg, sde, sampler, cfg,
     b = P(data_axis)
     r = P()
 
+    def _post(res: SolveResult) -> SolveResult:
+        if not cfg.oil.track_reproj:
+            return res
+        # the reproj trace is a per-step batch mean ([S, steps], no batch
+        # axis): average the equal-sized shards' local means over the data
+        # axis — the solve's ONLY collective, one pmean of S*steps scalars
+        # (VERDICT r4 next #7; the poses themselves stay collective-free)
+        return SolveResult(
+            poses=res.poses, translations=res.translations,
+            reproj_px=jax.lax.pmean(res.reproj_px, axis_name=data_axis),
+        )
+
     if has_conf:
         def shard_fn(params, clusters, cond2d, conf, k, rng):
-            return solve(params, model_cfg, sde, sampler, cfg,
-                         clusters, cond2d, conf, k, rng=rng,
-                         precision=precision, model_apply=model_apply)
+            return _post(solve(params, model_cfg, sde, sampler, cfg,
+                               clusters, cond2d, conf, k, rng=rng,
+                               precision=precision, model_apply=model_apply))
 
         in_specs = (r, r, b, b, b, r)
     else:
         def shard_fn(params, clusters, cond2d, k, rng):
-            return solve(params, model_cfg, sde, sampler, cfg,
-                         clusters, cond2d, None, k, rng=rng,
-                         precision=precision, model_apply=model_apply)
+            return _post(solve(params, model_cfg, sde, sampler, cfg,
+                               clusters, cond2d, None, k, rng=rng,
+                               precision=precision, model_apply=model_apply))
 
         in_specs = (r, r, b, b, r)
 
+    if cfg.oil.track_reproj:
+        # post-pmean the trace is replicated across the data axis
+        out_specs = SolveResult(poses=b, translations=b, reproj_px=r)
+    else:
+        out_specs = SolveResult(poses=b, translations=b)
     mapped = jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=in_specs,
-        out_specs=SolveResult(poses=b, translations=b),
-        check_vma=False,  # params/rng used replicated; no collectives inside
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,  # params/rng used replicated (reproj pmean is the
+        #                   only collective, and only under track_reproj)
     )
     return jax.jit(mapped)
