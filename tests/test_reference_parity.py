@@ -20,6 +20,12 @@ the BASELINE "PA-MPJPE parity" bar.
 The reference is imported read-only (sys.path + a torchvision stub — the
 package imports `torchvision.utils` at module scope but never uses it on the
 paths exercised here).
+
+Hermeticity (VERDICT r4 next #2): every reference-side computation routes
+through the `golden` fixture (tests/golden_store.py). With the reference +
+torch available the real code executes (and `ZEDO_REGEN_GOLDEN=1` refreshes
+the committed fixtures); without them (`ZEDO_REF_PARITY=0`, missing tree, or
+no torch) the same numeric bars assert against tests/fixtures/goldens/*.npz.
 """
 import functools
 import os
@@ -28,7 +34,11 @@ import types
 
 import numpy as np
 import pytest
-import torch
+
+try:
+    import torch
+except ImportError:  # golden mode works without torch
+    torch = None
 
 import jax
 import jax.numpy as jnp
@@ -50,13 +60,17 @@ from zedo_tpu.zeroshot import pipeline
 REF_ROOT = "/root/reference"
 
 # ZEDO_REF_PARITY=0 opts out of executing the third-party reference package's
-# module-scope code (supply-chain hygiene knob, advisor r2); default stays on
-# because reference-code parity is the suite's strongest accuracy evidence.
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_ROOT)
-    or os.environ.get("ZEDO_REF_PARITY", "1").lower() in ("0", "off", "false"),
-    reason="reference tree not available or ZEDO_REF_PARITY disabled",
-)
+# module-scope code (supply-chain hygiene knob, advisor r2); since r5 that no
+# longer drops the numeric bars — tests fall back to the committed goldens
+# (tests/golden_store.py; a missing golden skips loudly per test).
+from golden_store import GoldenCase, case_name
+
+
+@pytest.fixture
+def golden(request):
+    case = GoldenCase(case_name(request.node.nodeid))
+    yield case
+    case.finalize()
 
 
 @functools.lru_cache(maxsize=None)
@@ -131,28 +145,38 @@ def ref_config(embedding_type="positional", scale_by_sigma=False):
     return c
 
 
-def make_pair(embedding_type="positional", scale_by_sigma=False,
-              hidden=1024, embed=512, n_blocks=2, seed=0):
-    """A reference model (random torch init) + the converted jax params."""
-    R = ref()
-    torch.manual_seed(seed)
-    tmodel = R.model.ScoreModelFC_Adv(
-        ref_config(embedding_type, scale_by_sigma),
-        n_joints=17, joint_dim=3, hidden_dim=hidden, embed_dim=embed,
-        cond_dim=3, n_blocks=n_blocks,
-    )
-    tmodel.eval()
+def make_pair(golden, key="pair", embedding_type="positional",
+              scale_by_sigma=False, hidden=128, embed=64, n_blocks=2, seed=0):
+    """A reference model's torch-random-init weights + the converted jax
+    params. Live: instantiate the real ScoreModelFC_Adv (kept reachable via
+    golden.model(key) for ref-side closures). Golden: the captured state
+    dict loads from the fixture — torch init is not reproducible without
+    torch, so the weights themselves are part of the golden."""
     cfg = score_mlp.ScoreMLPConfig(
         n_joints=17, joint_dim=3, hidden_dim=hidden, embed_dim=embed,
         n_blocks=n_blocks, embedding_type=embedding_type,
         scale_by_sigma=scale_by_sigma,
     )
-    # .copy(): .numpy() returns a VIEW of the torch storage — a test that
-    # later trains tmodel in place (the trajectory-parity test) would
-    # silently mutate the "initial" jax params before jnp materializes them
-    sd = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+
+    def build_sd():
+        R = ref()
+        torch.manual_seed(seed)
+        tmodel = R.model.ScoreModelFC_Adv(
+            ref_config(embedding_type, scale_by_sigma),
+            n_joints=17, joint_dim=3, hidden_dim=hidden, embed_dim=embed,
+            cond_dim=3, n_blocks=n_blocks,
+        )
+        tmodel.eval()
+        golden.keep_model(key, tmodel)
+        # .copy(): .numpy() returns a VIEW of the torch storage — a test that
+        # later trains tmodel in place (the trajectory-parity test) would
+        # silently mutate the "initial" jax params before jnp materializes
+        return {k: v.detach().numpy().copy()
+                for k, v in tmodel.state_dict().items()}
+
+    sd = golden.get(key + "_sd", build_sd)
     params = ckpt_lib.params_from_torch_state_dict(sd, cfg)
-    return tmodel, cfg, params
+    return cfg, params
 
 
 # ------------------------------------------------------------ (a) the model
@@ -184,9 +208,13 @@ def _ref_intermediates(tmodel, x_t, labels_t):
     ("fourier", False),      # model.py:249-252 branch
     ("fourier", True),       # model.py:293-296 sigma normalization
 ])
-def test_score_model_per_layer_activation_parity(rng, embedding_type,
+def test_score_model_per_layer_activation_parity(rng, golden, embedding_type,
                                                  scale_by_sigma):
-    tmodel, cfg, params = make_pair(embedding_type, scale_by_sigma)
+    # hidden 256 (not the CLI's 1024): per-layer parity is width-independent
+    # elementwise algebra, and the golden fixture stores the torch-init
+    # weights — 256/128 keeps each variant's npz ~2MB instead of ~28MB
+    cfg, params = make_pair(golden, "pair", embedding_type, scale_by_sigma,
+                            hidden=256, embed=128)
     B = 16
     x = rng.randn(B, 17, 3).astype(np.float32)
     if embedding_type == "positional":
@@ -199,9 +227,10 @@ def test_score_model_per_layer_activation_parity(rng, embedding_type,
             + np.log(0.01)
         ).astype(np.float32)
 
-    want, ref_acts = _ref_intermediates(
-        tmodel, torch.tensor(x), torch.tensor(labels)
-    )
+    ref_out = golden.get("ref", lambda: (lambda o, a: {"out": o, "acts": a})(
+        *_ref_intermediates(golden.model("pair"), torch.tensor(x),
+                            torch.tensor(labels))))
+    want, ref_acts = ref_out["out"], ref_out["acts"]
     acts = {}
     got = np.asarray(score_mlp.apply(
         params, cfg, jnp.asarray(x), jnp.asarray(labels), intermediates=acts
@@ -217,18 +246,25 @@ def test_score_model_per_layer_activation_parity(rng, embedding_type,
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
-def test_ema_shadow_order_matches_reference_parameters(rng):
+def test_ema_shadow_order_matches_reference_parameters(rng, golden):
     """ema_shadow_to_params must map the REAL module's parameters() order
     (checkpoint['ema']['shadow_params'] is saved in that order)."""
-    tmodel, cfg, params = make_pair(hidden=128, embed=64)
-    shadow = [p.detach() + 1.0 for p in tmodel.parameters() if p.requires_grad]
-    got = ckpt_lib.ema_shadow_to_params([s.numpy() for s in shadow], cfg)
+    cfg, params = make_pair(golden, "pair", hidden=128, embed=64)
+
+    def ref_order():
+        tmodel = golden.model("pair")
+        shadow = [(p.detach() + 1.0).numpy()
+                  for p in tmodel.parameters() if p.requires_grad]
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        for name, p in tmodel.named_parameters():
+            if p.requires_grad:
+                sd[name] = p.detach().numpy() + 1.0
+        return {"shadow": list(shadow), "sd_plus1": sd}
+
+    ro = golden.get("ref_order", ref_order)
+    got = ckpt_lib.ema_shadow_to_params(ro["shadow"], cfg)
     # applying the same +1 through the state-dict converter must agree
-    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
-    for name, p in tmodel.named_parameters():
-        if p.requires_grad:
-            sd[name] = p.detach().numpy() + 1.0
-    want = ckpt_lib.params_from_torch_state_dict(sd, cfg)
+    want = ckpt_lib.params_from_torch_state_dict(ro["sd_plus1"], cfg)
     want.pop("sigmas", None)  # buffer, not in the shadow list (ema.py:28-29)
     got.pop("sigmas", None)
     jax.tree.map(
@@ -238,57 +274,74 @@ def test_ema_shadow_order_matches_reference_parameters(rng):
 
 
 # ------------------------------------------------------------- (a') the SDEs
-def test_sde_parity(rng):
-    R = ref()
+def test_sde_parity(rng, golden):
     B = 8
     x = rng.randn(B, 17, 3).astype(np.float32)
     t = (rng.rand(B).astype(np.float32) * 0.099 + 0.001)
-    xt, tt = torch.tensor(x), torch.tensor(t)
     xj, tj = jnp.asarray(x), jnp.asarray(t)
 
-    pairs = [
-        (R.sde_lib.VPSDE(0.1, 20.0, 1000, T=0.1), VPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)),
-        (R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1), SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)),
-        (R.sde_lib.VESDE(0.01, 50.0, 1000, T=0.1), VESDE(sigma_min=0.01, sigma_max=50.0, n=1000, t_max=0.1)),
-    ]
-    for tsde, jsde in pairs:
-        name = type(tsde).__name__
-        fm, fs = tsde.marginal_prob(xt, tt)
+    def ref_sdes():
+        R = ref()
+        xt, tt = torch.tensor(x), torch.tensor(t)
+        out = {}
+        for tsde in (R.sde_lib.VPSDE(0.1, 20.0, 1000, T=0.1),
+                     R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1),
+                     R.sde_lib.VESDE(0.01, 50.0, 1000, T=0.1)):
+            fm, fs = tsde.marginal_prob(xt, tt)
+            fd, fg = tsde.sde(xt, tt)
+            ff, fG = tsde.discretize(xt, tt)
+            out[type(tsde).__name__] = {
+                "marginal_mean": fm.numpy(), "marginal_std": fs.numpy(),
+                "drift": fd.numpy(),
+                "diffusion": (fg * torch.ones(B)).numpy(),
+                "disc_f": ff.numpy(), "disc_G": (fG * torch.ones(B)).numpy(),
+            }
+        return out
+
+    want = golden.get("sdes", ref_sdes)
+    jsdes = {
+        "VPSDE": VPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1),
+        "subVPSDE": SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1),
+        "VESDE": VESDE(sigma_min=0.01, sigma_max=50.0, n=1000, t_max=0.1),
+    }
+    for name, jsde in jsdes.items():
+        w = want[name]
         gm, gs = jsde.marginal_prob(xj, tj)
-        np.testing.assert_allclose(np.asarray(gm), fm.numpy(), atol=1e-6,
-                                   err_msg=f"{name} marginal mean")
-        np.testing.assert_allclose(np.asarray(gs), fs.numpy(), atol=1e-6,
-                                   err_msg=f"{name} marginal std")
-        fd, fg = tsde.sde(xt, tt)
+        np.testing.assert_allclose(np.asarray(gm), w["marginal_mean"],
+                                   atol=1e-6, err_msg=f"{name} marginal mean")
+        np.testing.assert_allclose(np.asarray(gs), w["marginal_std"],
+                                   atol=1e-6, err_msg=f"{name} marginal std")
         gd, gg = jsde.sde(xj, tj)
-        np.testing.assert_allclose(np.asarray(gd), fd.numpy(), atol=1e-6,
+        np.testing.assert_allclose(np.asarray(gd), w["drift"], atol=1e-6,
                                    err_msg=f"{name} drift")
-        np.testing.assert_allclose(
-            np.asarray(gg) * np.ones(B), (fg * torch.ones(B)).numpy(),
-            atol=1e-6, err_msg=f"{name} diffusion")
-        ff, fG = tsde.discretize(xt, tt)
+        np.testing.assert_allclose(np.asarray(gg) * np.ones(B), w["diffusion"],
+                                   atol=1e-6, err_msg=f"{name} diffusion")
         gf, gG = jsde.discretize(xj, tj)
-        np.testing.assert_allclose(np.asarray(gf), ff.numpy(), atol=1e-6,
+        np.testing.assert_allclose(np.asarray(gf), w["disc_f"], atol=1e-6,
                                    err_msg=f"{name} discretize f")
         np.testing.assert_allclose(
-            np.asarray(gG) * np.ones(B), (fG * torch.ones(B)).numpy(),
-            atol=1e-6, err_msg=f"{name} discretize G")
+            np.asarray(gG) * np.ones(B), w["disc_G"], atol=1e-6,
+            err_msg=f"{name} discretize G")
 
 
-def test_score_fn_parity(rng):
+def test_score_fn_parity(rng, golden):
     """get_score_fn wrapping (labels=t*999, subVP un-rooted std) vs the
     reference's utils.py:736-777, through the REAL network."""
-    R = ref()
-    tmodel, cfg, params = make_pair(hidden=128, embed=64)
+    cfg, params = make_pair(golden, "pair", hidden=128, embed=64)
     B = 6
     x = rng.randn(B, 17, 3).astype(np.float32)
     t = (rng.rand(B).astype(np.float32) * 0.099 + 0.001)
 
-    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
-    ref_score = R.autils.get_score_fn(tsde, tmodel, train=False,
-                                      continuous=True)
-    with torch.no_grad():
-        want = ref_score(torch.tensor(x), torch.tensor(t), None, None).numpy()
+    def ref_score_out():
+        R = ref()
+        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+        ref_score = R.autils.get_score_fn(tsde, golden.model("pair"),
+                                          train=False, continuous=True)
+        with torch.no_grad():
+            return ref_score(torch.tensor(x), torch.tensor(t),
+                             None, None).numpy()
+
+    want = golden.get("want", ref_score_out)
 
     jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
     model_fn = lambda xx, ll, c, m: score_mlp.apply(params, cfg, xx, ll, c, m)
@@ -301,31 +354,35 @@ def test_score_fn_parity(rng):
 
 # ------------------------------------------------------ (b) single pc steps
 @pytest.mark.parametrize("predictor", ["euler_maruyama", "reverse_diffusion"])
-def test_zedo_pc_step_matches_reference_pc_sampler(rng, predictor):
+def test_zedo_pc_step_matches_reference_pc_sampler(rng, golden, predictor):
     """One ZeDO sampler invocation (corrector+predictor at external t,
     sampling.py:450-527) against the real get_pc_sampler, deterministic
     probability-flow form (the configuration every optim config uses)."""
-    R = ref()
-    tmodel, cfg, params = make_pair(hidden=128, embed=64)
+    cfg, params = make_pair(golden, "pair", hidden=128, embed=64)
     B = 6
     x0 = rng.randn(B, 17, 3).astype(np.float32) * 0.3
     tval = 0.07
 
-    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
-    sampling_fn = R.sampling.get_pc_sampler(
-        sde=tsde, shape=(B, 17, 3),
-        predictor=R.sampling.get_predictor(predictor),
-        corrector=R.sampling.get_corrector("none"),
-        inverse_scaler=lambda v: v, snr=0.16, n_steps=1,
-        probability_flow=True, continuous=True, denoise=True, eps=0.01,
-        device="cpu",
-    )
-    with torch.no_grad():
-        _, want = sampling_fn(
-            tmodel, condition=torch.zeros(B, 17, 2),
-            gradient=None, denoise_x=torch.tensor(x0),
-            t=torch.tensor(tval), t_step=3, args=None,
+    def ref_step():
+        R = ref()
+        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+        sampling_fn = R.sampling.get_pc_sampler(
+            sde=tsde, shape=(B, 17, 3),
+            predictor=R.sampling.get_predictor(predictor),
+            corrector=R.sampling.get_corrector("none"),
+            inverse_scaler=lambda v: v, snr=0.16, n_steps=1,
+            probability_flow=True, continuous=True, denoise=True, eps=0.01,
+            device="cpu",
         )
+        with torch.no_grad():
+            _, w = sampling_fn(
+                golden.model("pair"), condition=torch.zeros(B, 17, 2),
+                gradient=None, denoise_x=torch.tensor(x0),
+                t=torch.tensor(tval), t_step=3, args=None,
+            )
+        return np.asarray(w)
+
+    want = golden.get("want", ref_step)
 
     jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
     sampler = PCSampler(sde=jsde, predictor=predictor, corrector="none",
@@ -344,7 +401,7 @@ def test_zedo_pc_step_matches_reference_pc_sampler(rng, predictor):
     ("subvp", True, False, True),    # likelihood-weighting branch
     ("vp", False, True, False),      # discrete-label branch (losses.py:93)
 ])
-def test_sde_loss_parity(rng, monkeypatch, sde_kind, continuous,
+def test_sde_loss_parity(rng, golden, monkeypatch, sde_kind, continuous,
                          reduce_mean, lw):
     """The reference's get_sde_loss_fn (losses.py:56-104) vs
     diffusion/losses.get_sde_loss_fn with the SAME injected (t, z) draws —
@@ -353,9 +410,7 @@ def test_sde_loss_parity(rng, monkeypatch, sde_kind, continuous,
     through the real network."""
     from zedo_tpu.diffusion import losses as losses_lib
 
-    R = ref()
-    import lib.algorithms.advanced.losses as ref_losses
-    tmodel, cfg, params = make_pair(hidden=128, embed=64)
+    cfg, params = make_pair(golden, "pair", hidden=128, embed=64)
     B = 8
     eps = 1e-5
     batch = rng.randn(B, 17, 3).astype(np.float32) * 0.3
@@ -363,20 +418,32 @@ def test_sde_loss_parity(rng, monkeypatch, sde_kind, continuous,
     z_fix = rng.randn(B, 17, 3).astype(np.float32)
 
     if sde_kind == "subvp":
-        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
         jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
     else:
-        tsde = R.sde_lib.VPSDE(0.1, 20.0, 1000, T=0.1)
         jsde = VPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
 
-    ref_fn = ref_losses.get_sde_loss_fn(
-        tsde, train=False, reduce_mean=reduce_mean, continuous=continuous,
-        likelihood_weighting=lw, eps=eps)
-    monkeypatch.setattr(torch, "rand",
-                        lambda *a, **k: torch.tensor((t_fix - eps) / (0.1 - eps)))
-    monkeypatch.setattr(torch, "randn_like", lambda x: torch.tensor(z_fix))
-    with torch.no_grad():
-        want = float(ref_fn(tmodel, torch.tensor(batch), None, None))
+    def ref_loss():
+        R = ref()
+        import lib.algorithms.advanced.losses as ref_losses
+
+        tsde = (R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+                if sde_kind == "subvp"
+                else R.sde_lib.VPSDE(0.1, 20.0, 1000, T=0.1))
+        ref_fn = ref_losses.get_sde_loss_fn(
+            tsde, train=False, reduce_mean=reduce_mean, continuous=continuous,
+            likelihood_weighting=lw, eps=eps)
+        monkeypatch.setattr(
+            torch, "rand",
+            lambda *a, **k: torch.tensor((t_fix - eps) / (0.1 - eps)))
+        monkeypatch.setattr(torch, "randn_like",
+                            lambda x: torch.tensor(z_fix))
+        with torch.no_grad():
+            w = float(ref_fn(golden.model("pair"), torch.tensor(batch),
+                             None, None))
+        monkeypatch.undo()
+        return w
+
+    want = float(np.asarray(golden.get("want", ref_loss)))
 
     def model_apply(p, x, labels, cond, msk, train=False, rng=None):
         return score_mlp.apply(p, cfg, x, labels, cond, msk)
@@ -393,44 +460,54 @@ def test_sde_loss_parity(rng, monkeypatch, sde_kind, continuous,
 
 
 # ------------------------------------------------------ ControlNet adapter
-def test_control_model_parity(rng):
+def test_control_model_parity(rng, golden):
     """The real Control_ScoreModelFC_Adv (lib/algorithms/advanced/
     control_model.py:97-382) vs control_mlp.apply through a converted state
     dict — covers the trunk/copy dataflow, the zc bridges, infant_cond, and
     the checked-in dense2_t-overwrite quirk (:341)."""
     from zedo_tpu.models import control_mlp
 
-    R = ref()
-    torch.manual_seed(5)
-    config = ref_config("positional", False)
-    import lib.algorithms.advanced.control_model as ref_cm
-
-    cm = ref_cm.Control_ScoreModelFC_Adv(
-        config, n_joints=12, joint_dim=3, hidden_dim=128, embed_dim=64,
-        cond_dim=2, n_blocks=2,
-    )
-    cm.eval()
     cfg = score_mlp.ScoreMLPConfig(
         n_joints=12, joint_dim=3, hidden_dim=128, embed_dim=64, n_blocks=2,
         embedding_type="positional",
     )
-    sd = {k: v.detach().numpy() for k, v in cm.state_dict().items()}
-    params = ckpt_lib.params_from_torch_state_dict(sd, cfg)
-
     B = 8
     x = rng.randn(B, 12, 3).astype(np.float32)
     labels = (rng.rand(B).astype(np.float32) * 0.099 + 0.001) * 999.0
-    with torch.no_grad():
-        want = cm(torch.tensor(x), torch.tensor(labels), None).numpy()
+
+    def ref_control():
+        R = ref()  # noqa: F841 — ensures sys.path/stubs before ref imports
+        torch.manual_seed(5)
+        import lib.algorithms.advanced.control_model as ref_cm
+
+        cm = ref_cm.Control_ScoreModelFC_Adv(
+            ref_config("positional", False), n_joints=12, joint_dim=3,
+            hidden_dim=128, embed_dim=64, cond_dim=2, n_blocks=2,
+        )
+        cm.eval()
+        sd = {k: v.detach().numpy().copy()
+              for k, v in cm.state_dict().items()}
+        with torch.no_grad():
+            want = cm(torch.tensor(x), torch.tensor(labels), None).numpy()
+        # freeze-set parity source: exactly the copy/zc/infant_cond leaves
+        # train (control_model.py:224-232 freeze())
+        cm.freeze()
+        trainable = sorted(n for n, p in cm.named_parameters()
+                           if p.requires_grad)
+        return {"sd": sd, "want": want,
+                "trainable": np.array(trainable)}
+
+    ref_out = golden.get("ref", ref_control)
+    sd = ref_out["sd"]
+    want = ref_out["want"]
+    ref_trainable = {str(n) for n in np.asarray(ref_out["trainable"])}
+    params = ckpt_lib.params_from_torch_state_dict(sd, cfg)
+
     got = np.asarray(
         control_mlp.apply(params, cfg, jnp.asarray(x), jnp.asarray(labels))
     )
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
-    # freeze-set parity: exactly the copy/zc/infant_cond leaves train
-    # (control_model.py:224-232 freeze())
-    cm.freeze()
-    ref_trainable = {n for n, p in cm.named_parameters() if p.requires_grad}
     mask = control_mlp.trainable_mask(params)
     mine_trainable = {
         k for k, v in ckpt_lib.tree_to_flat(mask).items() if v
@@ -454,39 +531,42 @@ def test_control_model_parity(rng):
         )
 
 
-def test_ode_sampler_parity(rng):
+def test_ode_sampler_parity(rng, golden):
     """PF-ODE transport through the real reference components (get_score_fn,
     reverse SDE, scipy RK45) vs diffusion/ode.ODESampler from the same
     latent. The reference's shipped ode_sampler glue is bit-rotten (drift_fn
     drops `condition`/`mask` — sampling.py:561-565,575 — and crashes), so the
     harness integrates the same drift with those arguments supplied, which is
     the evident intent."""
-    from scipy import integrate
-
     from zedo_tpu.diffusion.ode import ODESampler
 
-    R = ref()
-    tmodel, cfg, params = make_pair(hidden=128, embed=64, seed=2)
+    cfg, params = make_pair(golden, "pair", hidden=128, embed=64, seed=2)
     B = 4
     shape = (B, 17, 3)
     z = rng.randn(*shape).astype(np.float32)
 
-    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
-    ref_score = R.autils.get_score_fn(tsde, tmodel, train=False,
-                                      continuous=True)
-    rsde = tsde.reverse(ref_score, probability_flow=True)
+    def ref_transport():
+        from scipy import integrate
 
-    def ode_func(t, flat):
-        with torch.no_grad():
-            x = torch.tensor(flat.reshape(shape), dtype=torch.float32)
-            vec_t = torch.ones(B) * float(t)
-            drift = rsde.sde(x, vec_t, None, None)[0]
-        return drift.numpy().reshape(-1).astype(np.float64)
+        R = ref()
+        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+        ref_score = R.autils.get_score_fn(tsde, golden.model("pair"),
+                                          train=False, continuous=True)
+        rsde = tsde.reverse(ref_score, probability_flow=True)
 
-    sol = integrate.solve_ivp(ode_func, (tsde.T, 1e-3),
-                              z.reshape(-1).astype(np.float64),
-                              rtol=1e-7, atol=1e-7, method="RK45")
-    want = sol.y[:, -1].reshape(shape).astype(np.float32)
+        def ode_func(t, flat):
+            with torch.no_grad():
+                x = torch.tensor(flat.reshape(shape), dtype=torch.float32)
+                vec_t = torch.ones(B) * float(t)
+                drift = rsde.sde(x, vec_t, None, None)[0]
+            return drift.numpy().reshape(-1).astype(np.float64)
+
+        sol = integrate.solve_ivp(ode_func, (tsde.T, 1e-3),
+                                  z.reshape(-1).astype(np.float64),
+                                  rtol=1e-7, atol=1e-7, method="RK45")
+        return sol.y[:, -1].reshape(shape).astype(np.float32)
+
+    want = golden.get("want", ref_transport)
 
     jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
     model_fn = lambda xx, ll, c, m: score_mlp.apply(params, cfg, xx, ll, c, m)
@@ -501,8 +581,7 @@ def test_ode_sampler_parity(rng):
 
 
 # ------------------------------------------------- geometry + rotation utils
-def test_gradient_field_parity(rng):
-    R = ref()
+def test_gradient_field_parity(rng, golden):
     B = 7
     key3d = rng.randn(B, 17, 3).astype(np.float32) * 0.3
     key3d[:, :, 2] += 0.1
@@ -512,184 +591,235 @@ def test_gradient_field_parity(rng):
     k[:, 2, 2] = 1.0
     key2d = rng.rand(B, 17, 2).astype(np.float32) * 1000.0
     conf = (rng.rand(B, 17).astype(np.float32) * 1.3)  # exercises clamping
+    t_fix = np.array([[[0.2, -0.1, 3.5]]], np.float32).repeat(B, axis=0)
 
-    # solved-T branch (opt_main.py:207)
-    want_g, want_t = R.szo.gradient_field_gen(
-        torch.tensor(key2d), torch.tensor(key3d), torch.tensor(k),
-        conf=torch.tensor(conf.copy()), returnT=True,
-    )
+    def ref_gf():
+        R = ref()
+        # solved-T branch (opt_main.py:207)
+        wg, wt = R.szo.gradient_field_gen(
+            torch.tensor(key2d), torch.tensor(key3d), torch.tensor(k),
+            conf=torch.tensor(conf.copy()), returnT=True,
+        )
+        # fixed-T branch (opt_main.py:205), no conf
+        wg2 = R.szo.gradient_field_gen(
+            torch.tensor(key2d), torch.tensor(key3d), torch.tensor(k),
+            t=torch.tensor(t_fix),
+        )
+        return {"g": wg.numpy(), "t": wt.numpy(), "g2": wg2.numpy()}
+
+    want = golden.get("ref", ref_gf)
     got_g, got_t = gf_lib.gradient_field(
         jnp.asarray(key2d), jnp.asarray(key3d), jnp.asarray(k),
         conf=jnp.asarray(conf),
     )
-    np.testing.assert_allclose(np.asarray(got_t), want_t.numpy(),
+    np.testing.assert_allclose(np.asarray(got_t), want["t"],
                                atol=1e-4, rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(),
+    np.testing.assert_allclose(np.asarray(got_g), want["g"],
                                atol=1e-5, rtol=1e-4)
 
-    # fixed-T branch (opt_main.py:205), no conf
-    t_fix = np.array([[[0.2, -0.1, 3.5]]], np.float32).repeat(B, axis=0)
-    want_g2 = R.szo.gradient_field_gen(
-        torch.tensor(key2d), torch.tensor(key3d), torch.tensor(k),
-        t=torch.tensor(t_fix),
-    )
     got_g2, _ = gf_lib.gradient_field(
         jnp.asarray(key2d), jnp.asarray(key3d), jnp.asarray(k),
         t=jnp.asarray(t_fix),
     )
-    np.testing.assert_allclose(np.asarray(got_g2), want_g2.numpy(),
+    np.testing.assert_allclose(np.asarray(got_g2), want["g2"],
                                atol=1e-5, rtol=1e-4)
 
 
-def test_guidance_grad_parity(rng):
+def test_guidance_grad_parity(rng, golden):
     """get_match_grad_fn / get_sym_grad_fn (sampling.py:359-397) vs
     diffusion/guidance.py — the torch-autograd gradients vs jax.grad."""
     from zedo_tpu.diffusion import guidance
 
-    R = ref()
     x = rng.randn(5, 17, 3).astype(np.float32) * 0.4
     cond = rng.rand(5, 17, 2).astype(np.float32)
 
-    want = R.sampling.get_match_grad_fn(weight=0.7)(
-        torch.tensor(x), None, torch.tensor(cond)).numpy()
+    def ref_grads():
+        R = ref()
+        return {
+            "match": R.sampling.get_match_grad_fn(weight=0.7)(
+                torch.tensor(x), None, torch.tensor(cond)).numpy(),
+            "sym": R.sampling.get_sym_grad_fn(weight=1.3)(
+                torch.tensor(x), None, None).numpy(),
+        }
+
+    want = golden.get("ref", ref_grads)
     got = np.asarray(guidance.get_match_grad_fn(weight=0.7)(
         jnp.asarray(x), None, jnp.asarray(cond)))
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(got, want["match"], atol=1e-5, rtol=1e-4)
 
-    want = R.sampling.get_sym_grad_fn(weight=1.3)(
-        torch.tensor(x), None, None).numpy()
     got = np.asarray(guidance.get_sym_grad_fn(weight=1.3)(
         jnp.asarray(x), None))
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(got, want["sym"], atol=1e-5, rtol=1e-4)
 
 
-def test_quaternion_to_matrix_parity(rng):
-    R = ref()
+def test_quaternion_to_matrix_parity(rng, golden):
     q = rng.randn(64, 4).astype(np.float32)
-    want = R.autils.quaternion_to_matrix(torch.tensor(q)).numpy()
+    want = golden.get("want", lambda: ref().autils.quaternion_to_matrix(
+        torch.tensor(q)).numpy())
     got = np.asarray(quaternion_to_matrix(jnp.asarray(q)))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
-def test_ema_update_parity(rng):
+def test_ema_update_parity(rng, golden):
     """Reference ExponentialMovingAverage (lib/algorithms/ema.py) vs
-    diffusion/ema.py across warmup updates."""
-    R = ref()
-    torch.manual_seed(1)
-    lin = torch.nn.Linear(8, 8)
-    tema = R.ema.ExponentialMovingAverage(lin.parameters(), decay=0.9999)
+    diffusion/ema.py across the same deterministic weight trajectory
+    (w0 + per-step increments) over warmup updates."""
+    w0 = rng.randn(8, 8).astype(np.float32)
+    b0 = rng.randn(8).astype(np.float32)
 
-    def snap():
-        # .copy(): jnp.asarray zero-copies numpy views on CPU, and the torch
-        # weights are mutated in place below
-        return {"weight": jnp.asarray(lin.weight.detach().numpy().copy()),
-                "bias": jnp.asarray(lin.bias.detach().numpy().copy())}
+    def snaps():
+        """The weight trajectory both EMAs consume (same on both sides)."""
+        w, b = w0.copy(), b0.copy()
+        out = [{"weight": w.copy(), "bias": b.copy()}]
+        for step in range(5):
+            w = w + 0.01 * (step + 1)
+            b = b - 0.02
+            out.append({"weight": w.copy(), "bias": b.copy()})
+        return out
 
-    state = ema_lib.init(snap(), decay=0.9999)
-    for step in range(5):
+    def ref_ema():
+        R = ref()
+        traj = snaps()
+        lin = torch.nn.Linear(8, 8)
         with torch.no_grad():
-            lin.weight += 0.01 * (step + 1)
-            lin.bias -= 0.02
-        tema.update(lin.parameters())
-        state = ema_lib.update(state, snap())
-    want = [p.numpy() for p in tema.shadow_params]
+            lin.weight.copy_(torch.tensor(traj[0]["weight"]))
+            lin.bias.copy_(torch.tensor(traj[0]["bias"]))
+        tema = R.ema.ExponentialMovingAverage(lin.parameters(), decay=0.9999)
+        for snap in traj[1:]:
+            with torch.no_grad():
+                lin.weight.copy_(torch.tensor(snap["weight"]))
+                lin.bias.copy_(torch.tensor(snap["bias"]))
+            tema.update(lin.parameters())
+        return [p.numpy() for p in tema.shadow_params]
+
+    want = golden.get("want", ref_ema)
+    traj = snaps()
+    state = ema_lib.init(
+        {k: jnp.asarray(v) for k, v in traj[0].items()}, decay=0.9999)
+    for snap in traj[1:]:
+        state = ema_lib.update(
+            state, {k: jnp.asarray(v) for k, v in snap.items()})
     got = ema_lib.params_of(state)
     np.testing.assert_allclose(np.asarray(got["weight"]), want[0], atol=1e-6)
     np.testing.assert_allclose(np.asarray(got["bias"]), want[1], atol=1e-6)
 
 
 # ----------------------------------------------- transforms / metrics / data
-def test_transforms_parity(rng):
+def test_transforms_parity(rng, golden):
     """lib/utils/transforms.py (procrustes, align_to_gt, frame conversions)
     vs ops/{procrustes,camera}.py on random geometry."""
     from zedo_tpu.ops import camera as cam_ops
     from zedo_tpu.ops import procrustes as pro_ops
 
-    R = ref()
     pose = rng.randn(17, 3).astype(np.float64) * 0.3
     gt = rng.randn(17, 3).astype(np.float64) * 0.3
-    want = R.transforms.align_to_gt(pose=pose, pose_gt=gt)
-    got = np.asarray(pro_ops.align_to_gt(jnp.asarray(pose), jnp.asarray(gt)))
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
-
     rot = np.asarray(
         quaternion_to_matrix(jnp.asarray(rng.randn(1, 4).astype(np.float64)))
     )[0]
     t = rng.randn(3, 1)
     p = rng.randn(10, 3)
-    np.testing.assert_allclose(
-        np.asarray(cam_ops.world_to_camera_frame(
-            jnp.asarray(p), jnp.asarray(rot), jnp.asarray(t))),
-        R.transforms.world_to_camera_frame(p, rot, t), atol=1e-6)
-    np.testing.assert_allclose(
-        np.asarray(cam_ops.camera_to_world_frame(
-            jnp.asarray(p), jnp.asarray(rot), jnp.asarray(t))),
-        R.transforms.camera_to_world_frame(p, rot, t), atol=1e-6)
-
     box = np.array([100.0, 120.0, 420.0, 480.0])  # x1 y1 x2 y2
     camera = dict(fx=1100.0, fy=1105.0, cx=512.0, cy=500.0)
     pose3d_image = rng.rand(17, 3) * np.array([200, 200, 50]) + np.array(
         [400, 400, 4000])
     root_depth = 4000.0
-    want_c = R.transforms.image_to_camera_frame(
-        pose3d_image.copy(), box, camera, None, root_depth)
+
+    def ref_transforms():
+        R = ref()
+        return {
+            "align": R.transforms.align_to_gt(pose=pose.copy(), pose_gt=gt),
+            "w2c": R.transforms.world_to_camera_frame(p, rot, t),
+            "c2w": R.transforms.camera_to_world_frame(p, rot, t),
+            "i2c": R.transforms.image_to_camera_frame(
+                pose3d_image.copy(), box, camera, None, root_depth),
+        }
+
+    want = golden.get("ref", ref_transforms)
+    got = np.asarray(pro_ops.align_to_gt(jnp.asarray(pose), jnp.asarray(gt)))
+    np.testing.assert_allclose(got, want["align"], atol=1e-5, rtol=1e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(cam_ops.world_to_camera_frame(
+            jnp.asarray(p), jnp.asarray(rot), jnp.asarray(t))),
+        want["w2c"], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cam_ops.camera_to_world_frame(
+            jnp.asarray(p), jnp.asarray(rot), jnp.asarray(t))),
+        want["c2w"], atol=1e-6)
+
     got_c = np.asarray(cam_ops.image_to_camera_frame(
         jnp.asarray(pose3d_image), jnp.asarray(box),
         fx=camera["fx"], fy=camera["fy"], cx=camera["cx"], cy=camera["cy"],
         root_depth=root_depth))
     # jnp computes in f32 (x64 disabled); the reference in f64
-    np.testing.assert_allclose(got_c, want_c, rtol=1e-4)
+    np.testing.assert_allclose(got_c, want["i2c"], rtol=1e-4)
 
 
-def test_metrics_parity(rng):
+def test_metrics_parity(rng, golden):
     """compute_PCK/compute_AUC/mean_cov/mahalanobis (advanced/utils.py:
     814-885) vs ops/metrics.py."""
     from zedo_tpu.ops import metrics as met
 
-    R = ref()
     gts = rng.randn(20, 17, 3) * 0.2
     preds = gts + rng.randn(20, 17, 3) * 0.08
+    x = rng.randn(40, 17, 3).astype(np.float64)
+    q = rng.randn(5, 17 * 3)
+
+    def ref_metrics():
+        R = ref()
+        m_ref, cov_ref = R.autils.mean_cov(x.copy())
+        return {
+            "pck": np.float64(R.autils.compute_PCK(gts, preds)),
+            "auc": np.float64(R.autils.compute_AUC(gts, preds)),
+            "mean": m_ref, "cov": cov_ref,
+            "maha": R.autils.mahalanobis(m=m_ref, cov=cov_ref, x=q),
+        }
+
+    want = golden.get("ref", ref_metrics)
     np.testing.assert_allclose(
         float(met.compute_pck(jnp.asarray(preds), jnp.asarray(gts))),
-        R.autils.compute_PCK(gts, preds), rtol=1e-6)
+        want["pck"], rtol=1e-6)
     np.testing.assert_allclose(
         float(met.compute_auc(jnp.asarray(preds), jnp.asarray(gts))),
-        R.autils.compute_AUC(gts, preds), rtol=1e-6)
+        want["auc"], rtol=1e-6)
 
-    x = rng.randn(40, 17, 3).astype(np.float64)
-    m_ref, cov_ref = R.autils.mean_cov(x.copy())
     m_got, cov_got = met.mean_cov(x)
-    np.testing.assert_allclose(np.asarray(m_got), m_ref, atol=1e-8)
-    np.testing.assert_allclose(np.asarray(cov_got), cov_ref, atol=1e-8)
-    q = rng.randn(5, 17 * 3)
+    np.testing.assert_allclose(np.asarray(m_got), want["mean"], atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cov_got), want["cov"], atol=1e-8)
     np.testing.assert_allclose(
         np.asarray(met.mahalanobis(m=m_got, cov=cov_got, x=q)),
-        R.autils.mahalanobis(m=m_ref, cov=cov_ref, x=q), rtol=1e-6)
+        want["maha"], rtol=1e-6)
 
 
-def test_flip_normalize_helpers_parity(rng):
+def test_flip_normalize_helpers_parity(rng, golden):
     """h36m.py module helpers flip/unflip/normalize/denormalize (:14-76) vs
     data/base.py."""
     from zedo_tpu.data import base as base_mod
 
-    R = ref()
     data = rng.randn(6, 17, 3).astype(np.float32) * 100 + 500
-    np.testing.assert_allclose(
-        base_mod.flip_data(data), R.h36m.flip_data(data.copy()), atol=1e-6)
+
+    def ref_helpers():
+        R = ref()
+        return {
+            "flip": R.h36m.flip_data(data.copy()),
+            "unflip_flip": R.h36m.unflip_data(R.h36m.flip_data(data.copy())),
+            "normalize": R.h36m.normalize_data(data.copy()),
+        }
+
+    want = golden.get("ref", ref_helpers)
+    np.testing.assert_allclose(base_mod.flip_data(data), want["flip"],
+                               atol=1e-6)
     np.testing.assert_allclose(
         base_mod.unflip_data(base_mod.flip_data(data)),
-        R.h36m.unflip_data(R.h36m.flip_data(data.copy())), atol=1e-5)
+        want["unflip_flip"], atol=1e-5)
     np.testing.assert_allclose(
-        base_mod.normalize_data(data.copy()),
-        R.h36m.normalize_data(data.copy()), atol=1e-6)
+        base_mod.normalize_data(data.copy()), want["normalize"], atol=1e-6)
 
 
-def test_distributed_eval_sampler_parity(rng):
+def test_distributed_eval_sampler_parity(rng, golden):
     """EvaSampler.DistributedEvalSampler index assignment (pad-free
     contiguous split) vs data/sharding.py across uneven sizes."""
     from zedo_tpu.data import sharding
-
-    R = ref()
 
     class _DS:
         def __init__(self, n):
@@ -698,20 +828,30 @@ def test_distributed_eval_sampler_parity(rng):
         def __len__(self):
             return self.n
 
-    for n, world in [(10, 4), (17, 3), (8, 8), (5, 2)]:
+    cases = [(10, 4), (17, 3), (8, 8), (5, 2)]
+
+    def ref_assignments():
+        R = ref()
+        return {
+            f"{n}x{world}r{rank}": np.asarray(
+                list(R.eva_sampler.DistributedEvalSampler(
+                    _DS(n), num_replicas=world, rank=rank, shuffle=False)),
+                np.int64)
+            for n, world in cases for rank in range(world)
+        }
+
+    ref_idx = golden.get("ref", ref_assignments)
+    for n, world in cases:
         chunks = sharding.contiguous_chunks(n, world)
-        mine = sharding.DistributedEvalSampler(_DS(n), num_replicas=world)
         for rank in range(world):
-            want = list(R.eva_sampler.DistributedEvalSampler(
-                _DS(n), num_replicas=world, rank=rank, shuffle=False))
+            want = list(np.asarray(ref_idx[f"{n}x{world}r{rank}"]))
             got = list(sharding.DistributedEvalSampler(
                 _DS(n), num_replicas=world, rank=rank))
             assert got == want, (n, world, rank)
             assert list(chunks[rank]) == want, (n, world, rank)
-    del mine
 
 
-def test_h36m_eval_multi_parity(rng, tmp_path):
+def test_h36m_eval_multi_parity(rng, golden, tmp_path):
     """The reference H36MDataset3D.eval_multi/eval THEMSELVES (h36m.py:
     265-442), driven on an attribute-injected instance, vs the repo's
     H36MDataset3D on the same synthetic items — the strongest evidence the
@@ -720,7 +860,6 @@ def test_h36m_eval_multi_parity(rng, tmp_path):
 
     from zedo_tpu.data.h36m import H36MDataset3D
 
-    R = ref()
     n, s = 30, 3  # cover every action 2..16 (empty actions NaN the
     # reference's action-wise mean)
     items = []
@@ -741,80 +880,101 @@ def test_h36m_eval_multi_parity(rng, tmp_path):
     gt = (gt - gt[:, 0:1]) / 1000.0
     preds = (gt[:, None] + rng.randn(n, s, 17, 3) * 0.05).astype(np.float32)
 
-    # reference instance without touching its file-reading ctor
-    ref_ds = R.h36m.H36MDataset3D.__new__(R.h36m.H36MDataset3D)
-    ref_ds.subset = "test"
-    ref_ds.gt_dataset = items
-    ref_ds.seq5678 = False
-    ref_ds.root_path = str(tmp_path)
+    def ref_evals():
+        R = ref()
+        # reference instance without touching its file-reading ctor
+        ref_ds = R.h36m.H36MDataset3D.__new__(R.h36m.H36MDataset3D)
+        ref_ds.subset = "test"
+        ref_ds.gt_dataset = items
+        ref_ds.seq5678 = False
+        ref_ds.root_path = str(tmp_path)
+        return {
+            f"p{int(p2) + 1}": {
+                "multi": np.float64(ref_ds.eval_multi(preds, protocol2=p2)),
+                "single": np.float64(ref_ds.eval(preds[:, 0], protocol2=p2)),
+            }
+            for p2 in (False, True)
+        }
 
+    want = golden.get("ref", ref_evals)
     mine = H36MDataset3D(str(tmp_path), "test", gt2d=True, abs_coord=True)
     for protocol2 in (False, True):
-        want = ref_ds.eval_multi(preds, protocol2=protocol2)
+        w = want[f"p{int(protocol2) + 1}"]
         got = mine.eval_multi(preds, protocol2=protocol2)
-        np.testing.assert_allclose(got, want, rtol=1e-5,
+        np.testing.assert_allclose(got, w["multi"], rtol=1e-5,
                                    err_msg=f"protocol2={protocol2}")
-        want1 = ref_ds.eval(preds[:, 0], protocol2=protocol2)
         got1 = mine.eval(preds[:, 0], protocol2=protocol2)
-        np.testing.assert_allclose(got1, want1, rtol=1e-5)
+        np.testing.assert_allclose(got1, w["single"], rtol=1e-5)
 
 
-def test_pw3d_ski_3dhp_eval_multi_parity(rng, tmp_path):
+def test_pw3d_ski_3dhp_eval_multi_parity(rng, golden, tmp_path):
     """The reference PW3D/skiPose/MPII3DHP eval_multi THEMSELVES (pw3d.py:
     286-345, skiPose.py:159-205, mpii3dHP.py:424-512 incl. PCK/AUC) on
     attribute-injected instances vs the repo's datasets on the same arrays."""
-    import pickle
-
     from zedo_tpu.data.mpii3dhp import MPII3DHP
     from zedo_tpu.data.pw3d import PW3D
     from zedo_tpu.data.ski import skiPose as MySki
-
-    R = ref()
-    import lib.dataset.mpii3dHP as ref_3dhp
-    import lib.dataset.pw3d as ref_pw3d
-    import lib.dataset.skiPose as ref_ski
 
     n, s = 14, 3  # covers all 7 3DHP actions (empty actions NaN the
     # reference's action-wise mean)
     db_3d = rng.randn(n, 17, 3).astype(np.float32) * 0.3
     preds = ((db_3d - db_3d[:, 0:1])[:, None]
              + rng.randn(n, s, 17, 3) * 0.04).astype(np.float32)
+    items = [{"joint_3d_camera": db_3d[i] * 1000
+                                + np.array([0.0, 0.0, 4000.0]),
+              "action": [15, 10, 17, 18, 19, 20, 21][i % 7]} for i in range(n)]
 
-    for ref_cls, mine_cls in ((ref_pw3d.PW3D, PW3D),
-                              (ref_ski.skiPose, MySki)):
-        rd = ref_cls.__new__(ref_cls)
-        rd.db_3d = db_3d
+    def ref_evals():
+        ref()  # sys.path/stubs
+        import lib.dataset.mpii3dHP as ref_3dhp
+        import lib.dataset.pw3d as ref_pw3d
+        import lib.dataset.skiPose as ref_ski
+
+        out = {}
+        for ref_cls in (ref_pw3d.PW3D, ref_ski.skiPose):
+            rd = ref_cls.__new__(ref_cls)
+            rd.db_3d = db_3d
+            out[ref_cls.__name__] = {
+                f"p{int(p2) + 1}": np.float64(
+                    rd.eval_multi(preds, protocol2=p2))
+                for p2 in (False, True)
+            }
+        # 3DHP GT branch: action-wise + PCK/AUC via the real compute_PCK/AUC
+        rd = ref_3dhp.MPII3DHP.__new__(ref_3dhp.MPII3DHP)
+        rd.subset = "test"
+        rd.gt_dataset = items
+        rd.db_3d = np.array([it["joint_3d_camera"] / 1000.0 for it in items],
+                            np.float32)
+        out["MPII3DHP"] = {
+            f"p{int(p2) + 1}": np.float64(rd.eval_multi(preds, protocol2=p2))
+            for p2 in (False, True)
+        }
+        return out
+
+    want = golden.get("ref", ref_evals)
+    for name, mine_cls in (("PW3D", PW3D), ("skiPose", MySki)):
         mine = mine_cls.__new__(mine_cls)
         mine.db_3d = db_3d
         mine.subset = "test"
         for protocol2 in (False, True):
-            want = rd.eval_multi(preds, protocol2=protocol2)
             got = mine.eval_multi(preds, protocol2=protocol2)
             np.testing.assert_allclose(
-                got, want, rtol=1e-5,
-                err_msg=f"{ref_cls.__name__} protocol2={protocol2}")
+                got, want[name][f"p{int(protocol2) + 1}"], rtol=1e-5,
+                err_msg=f"{name} protocol2={protocol2}")
 
-    # 3DHP GT branch: action-wise + PCK/AUC via the real compute_PCK/AUC
-    items = [{"joint_3d_camera": db_3d[i] * 1000
-                                + np.array([0.0, 0.0, 4000.0]),
-              "action": [15, 10, 17, 18, 19, 20, 21][i % 7]} for i in range(n)]
-    rd = ref_3dhp.MPII3DHP.__new__(ref_3dhp.MPII3DHP)
-    rd.subset = "test"
-    rd.gt_dataset = items
-    rd.db_3d = np.array([it["joint_3d_camera"] / 1000.0 for it in items],
-                        np.float32)
     mine = MPII3DHP.__new__(MPII3DHP)
     mine.subset = "test"
     mine.gt_dataset = items
-    mine.db_3d = rd.db_3d.copy()
+    mine.db_3d = np.array([it["joint_3d_camera"] / 1000.0 for it in items],
+                          np.float32)
     for protocol2 in (False, True):
-        want = rd.eval_multi(preds, protocol2=protocol2)
         got = mine.eval_multi(preds, protocol2=protocol2)
-        np.testing.assert_allclose(got, want, rtol=1e-5,
-                                   err_msg=f"3DHP protocol2={protocol2}")
+        np.testing.assert_allclose(
+            got, want["MPII3DHP"][f"p{int(protocol2) + 1}"], rtol=1e-5,
+            err_msg=f"3DHP protocol2={protocol2}")
 
 
-def test_h36m_reader_parity(rng, tmp_path):
+def test_h36m_reader_parity(rng, golden, tmp_path):
     """The reference H36MDataset3D READER itself (h36m.py:94-263) on the same
     pkl fixture vs the repo's reader: db_2d/db_3d/camera_param row-for-row,
     including sample_interval striding."""
@@ -822,7 +982,6 @@ def test_h36m_reader_parity(rng, tmp_path):
 
     from zedo_tpu.data.h36m import H36MDataset3D
 
-    R = ref()
     items = []
     for i in range(9):
         pose = rng.randn(17, 3) * 250
@@ -838,27 +997,38 @@ def test_h36m_reader_parity(rng, tmp_path):
     with open(tmp_path / "h36m_test.pkl", "wb") as f:
         pickle.dump(items, f)
 
-    for kw in (dict(gt2d=True, abs_coord=True),
-               dict(gt2d=True, abs_coord=False, sample_interval=2)):
-        ref_ds = R.h36m.H36MDataset3D(str(tmp_path), "test",
-                                      read_confidence=True, **kw)
+    variants = [dict(gt2d=True, abs_coord=True),
+                dict(gt2d=True, abs_coord=False, sample_interval=2)]
+
+    def ref_readers():
+        R = ref()
+        out = {}
+        for vi, kw in enumerate(variants):
+            ref_ds = R.h36m.H36MDataset3D(str(tmp_path), "test",
+                                          read_confidence=True, **kw)
+            out[f"v{vi}"] = {"db_3d": np.asarray(ref_ds.db_3d),
+                             "db_2d": np.asarray(ref_ds.db_2d),
+                             "camera_param": np.asarray(ref_ds.camera_param)}
+        return out
+
+    want = golden.get("ref", ref_readers)
+    for vi, kw in enumerate(variants):
         mine = H36MDataset3D(str(tmp_path), "test", read_confidence=True,
                              **kw)
-        np.testing.assert_allclose(mine.db_3d, np.asarray(ref_ds.db_3d),
+        w = want[f"v{vi}"]
+        np.testing.assert_allclose(mine.db_3d, w["db_3d"],
                                    rtol=1e-6, err_msg=str(kw))
-        np.testing.assert_allclose(mine.db_2d, np.asarray(ref_ds.db_2d),
+        np.testing.assert_allclose(mine.db_2d, w["db_2d"],
                                    rtol=1e-6, err_msg=str(kw))
-        np.testing.assert_allclose(
-            mine.camera_param, np.asarray(ref_ds.camera_param),
-            rtol=1e-6, err_msg=str(kw))
+        np.testing.assert_allclose(mine.camera_param, w["camera_param"],
+                                   rtol=1e-6, err_msg=str(kw))
 
 
-def test_pw3d_reader_parity(rng, tmp_path):
+def test_pw3d_reader_parity(rng, golden, tmp_path):
     """The reference PW3D reader (pw3d.py:55-227: joint reorder + 2D
     synthesized from GT 3D) vs the repo's on the same npz."""
     from zedo_tpu.data.pw3d import PW3D
 
-    R = ref()
     n = 7
     kp3d = rng.randn(n, 17, 3).astype(np.float32) * 0.3
     root = np.zeros((n, 3), np.float32)
@@ -875,25 +1045,28 @@ def test_pw3d_reader_parity(rng, tmp_path):
         image_height=np.full(n, 1000),
         image_path=np.array([f"im{i}" for i in range(n)]),
     )
-    import lib.dataset.pw3d as ref_pw3d
+    def ref_reader():
+        ref()  # sys.path/stubs
+        import lib.dataset.pw3d as ref_pw3d
 
-    rd = ref_pw3d.PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True)
+        rd = ref_pw3d.PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True)
+        return {"db_3d": np.asarray(rd.db_3d), "db_2d": np.asarray(rd.db_2d),
+                "camera_param": np.asarray(rd.camera_param)}
+
+    want = golden.get("ref", ref_reader)
     mine = PW3D(str(tmp_path), "test", gt2d=False, abs_coord=True)
-    np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d), rtol=1e-5)
-    np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d), rtol=1e-4)
-    np.testing.assert_allclose(mine.camera_param,
-                               np.asarray(rd.camera_param), rtol=1e-6)
+    np.testing.assert_allclose(mine.db_3d, want["db_3d"], rtol=1e-5)
+    np.testing.assert_allclose(mine.db_2d, want["db_2d"], rtol=1e-4)
+    np.testing.assert_allclose(mine.camera_param, want["camera_param"],
+                               rtol=1e-6)
 
 
-def test_ski_reader_parity(rng, tmp_path):
+def test_ski_reader_parity(rng, golden, tmp_path):
     """The reference skiPose reader (skiPose.py:10-148: x256 normalized
     intrinsics) vs the repo's on the same h5."""
     import h5py
 
     from zedo_tpu.data.ski import skiPose as MySki
-
-    R = ref()
-    import lib.dataset.skiPose as ref_ski
 
     n, j = 5, 17
     with h5py.File(tmp_path / "ski_test.h5", "w") as f:
@@ -906,24 +1079,29 @@ def test_ski_reader_parity(rng, tmp_path):
         f["cam"] = np.zeros(n, np.int32)
         f["frame"] = np.arange(n)
 
-    rd = ref_ski.skiPose(str(tmp_path), "test", gt2d=True, abs_coord=True)
+    def ref_reader():
+        ref()  # sys.path/stubs
+        import lib.dataset.skiPose as ref_ski
+
+        rd = ref_ski.skiPose(str(tmp_path), "test", gt2d=True,
+                             abs_coord=True)
+        return {"db_3d": np.asarray(rd.db_3d), "db_2d": np.asarray(rd.db_2d),
+                "camera_param": np.asarray(rd.camera_param)}
+
+    want = golden.get("ref", ref_reader)
     mine = MySki(str(tmp_path), "test", gt2d=True, abs_coord=True)
-    np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d), rtol=1e-5)
-    np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d), rtol=1e-5)
-    np.testing.assert_allclose(mine.camera_param,
-                               np.asarray(rd.camera_param), rtol=1e-5)
+    np.testing.assert_allclose(mine.db_3d, want["db_3d"], rtol=1e-5)
+    np.testing.assert_allclose(mine.db_2d, want["db_2d"], rtol=1e-5)
+    np.testing.assert_allclose(mine.camera_param, want["camera_param"],
+                               rtol=1e-5)
 
 
-def test_infant_reader_parity(rng, tmp_path, monkeypatch):
+def test_infant_reader_parity(rng, golden, tmp_path, monkeypatch):
     """The reference mini_rgbd and syrip READERS (mini_rgbd.py:236-303,
     syrip.py:216-310) on shared fixtures vs the repo's readers. The reference
     hardcodes relative paths, so it runs chdir'ed into the fixture tree."""
     from zedo_tpu.data.mini_rgbd import mini_rgbd as MyMini
     from zedo_tpu.data.syrip import syrip as MySyrip
-
-    R = ref()
-    import lib.dataset.mini_rgbd as ref_mini
-    import lib.dataset.syrip as ref_syrip
 
     monkeypatch.chdir(tmp_path)
     os.makedirs("data/mini-rgbd")
@@ -936,13 +1114,26 @@ def test_infant_reader_parity(rng, tmp_path, monkeypatch):
             }
     np.save("data/mini-rgbd/MINI-RGBD.npy", d)
 
-    for kw in (dict(subset="train", num_joint=17, abs_coord=True),
-               dict(subset="validate", num_joint=12, abs_coord=False)):
-        rd = ref_mini.mini_rgbd(gt2d=True, **kw)
+    mini_variants = [dict(subset="train", num_joint=17, abs_coord=True),
+                     dict(subset="validate", num_joint=12, abs_coord=False)]
+
+    def ref_mini_out():
+        ref()  # sys.path/stubs
+        import lib.dataset.mini_rgbd as ref_mini
+
+        return {
+            f"v{i}": (lambda rd: {"db_3d": np.asarray(rd.db_3d),
+                                  "db_2d": np.asarray(rd.db_2d)})(
+                ref_mini.mini_rgbd(gt2d=True, **kw))
+            for i, kw in enumerate(mini_variants)
+        }
+
+    want_mini = golden.get("mini", ref_mini_out)
+    for i, kw in enumerate(mini_variants):
         mine = MyMini(data_root="data/mini-rgbd", gt2d=True, **kw)
-        np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d),
+        np.testing.assert_allclose(mine.db_3d, want_mini[f"v{i}"]["db_3d"],
                                    rtol=1e-6, err_msg=str(kw))
-        np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d),
+        np.testing.assert_allclose(mine.db_2d, want_mini[f"v{i}"]["db_2d"],
                                    rtol=1e-6, err_msg=str(kw))
 
     # syrip: COCO stitching + negative-index maps + synthetic K
@@ -969,15 +1160,27 @@ def test_infant_reader_parity(rng, tmp_path, monkeypatch):
     np.save("data/syrip/test_pose2d.npy",
             {k: pose2d[k] for k in list(pose2d)[4:]})
 
+    def ref_syrip_out():
+        ref()  # sys.path/stubs
+        import lib.dataset.syrip as ref_syrip
+
+        return {
+            subset: (lambda rd: {"db_3d": np.asarray(rd.db_3d),
+                                 "db_2d": np.asarray(rd.db_2d),
+                                 "K": np.asarray(rd.K)})(
+                ref_syrip.syrip(subset=subset, num_joint=12))
+            for subset in ("train", "validate")
+        }
+
+    want_syrip = golden.get("syrip", ref_syrip_out)
     for subset in ("train", "validate"):
-        rd = ref_syrip.syrip(subset=subset, num_joint=12)
         mine = MySyrip(subset=subset, num_joint=12, data_root="data/syrip")
-        np.testing.assert_allclose(mine.db_3d, np.asarray(rd.db_3d),
+        w = want_syrip[subset]
+        np.testing.assert_allclose(mine.db_3d, w["db_3d"],
                                    rtol=1e-6, err_msg=subset)
-        np.testing.assert_allclose(mine.db_2d, np.asarray(rd.db_2d),
+        np.testing.assert_allclose(mine.db_2d, w["db_2d"],
                                    rtol=1e-6, err_msg=subset)
-        np.testing.assert_allclose(mine.K, np.asarray(rd.K),
-                                   rtol=1e-6, err_msg=subset)
+        np.testing.assert_allclose(mine.K, w["K"], rtol=1e-6, err_msg=subset)
 
 
 # --------------------------------------------------- (b) K-step trajectories
@@ -1025,10 +1228,15 @@ def _ref_ipo(R, pose, px, k, iterations, rot_axes="z", keylist=(0, 1, 4),
 
 
 @pytest.mark.parametrize("iterations", [5, 60])
-def test_ipo_trajectory_parity(rng, iterations):
+def test_ipo_trajectory_parity(rng, golden, iterations):
     k, pose, t_true, px = _scene(rng, n=4)
-    R = ref()
-    want_rot, want_t = _ref_ipo(R, pose, px, k, iterations)
+
+    def ref_ipo_out():
+        rot, t = _ref_ipo(ref(), pose, px, k, iterations)
+        return {"rot": rot, "t": t}
+
+    want = golden.get("ref", ref_ipo_out)
+    want_rot, want_t = want["rot"], want["t"]
     cfg = ipo_lib.IPOConfig(iterations=iterations, keypoint_list=(0, 1, 4),
                             rot_axes="z", t_norm=3.0)
     got = ipo_lib.run_ipo(jnp.asarray(pose), jnp.asarray(px), jnp.asarray(k),
@@ -1073,16 +1281,20 @@ def _ref_oil(R, tmodel, tsde, x0, t0, px, conf, k, iterations, eps=0.01):
 
 
 @pytest.mark.parametrize("with_conf", [False, True])
-def test_oil_trajectory_parity(rng, with_conf):
-    R = ref()
-    tmodel, cfg_m, params = make_pair(hidden=128, embed=64)
+def test_oil_trajectory_parity(rng, golden, with_conf):
+    cfg_m, params = make_pair(golden, "pair", hidden=128, embed=64)
     k, pose, t_true, px = _scene(rng, n=4)
     conf = (rng.rand(4, 17).astype(np.float32) * 1.2) if with_conf else None
     x0 = (pose + rng.randn(*pose.shape).astype(np.float32) * 0.05)
     iters = 20
 
-    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
-    want = _ref_oil(R, tmodel, tsde, x0, t_true, px, conf, k, iters)
+    def ref_oil_out():
+        R = ref()
+        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+        return _ref_oil(R, golden.model("pair"), tsde, x0, t_true, px, conf,
+                        k, iters)
+
+    want = golden.get("want", ref_oil_out)
 
     jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
     sampler = PCSampler(sde=jsde, predictor="euler_maruyama",
@@ -1098,7 +1310,7 @@ def test_oil_trajectory_parity(rng, with_conf):
                                atol=2e-4, rtol=1e-3)
 
 
-def test_oil_score_reuse_deviation_vs_reference(rng):
+def test_oil_score_reuse_deviation_vs_reference(rng, golden):
     """score_reuse=2 (the opt-in NFE halving) bounded against the REFERENCE
     trajectory, not just the synthetic family (VERDICT r2 missing #2): at
     reduced iterations the reuse-2 endpoint stays within a small bound of
@@ -1107,14 +1319,18 @@ def test_oil_score_reuse_deviation_vs_reference(rng):
     ~25x coarser than the shipped 1000-step schedule, so this bound is a
     conservative ceiling for the production +0.1mm characterization
     (tests/test_system_synthetic.py)."""
-    R = ref()
-    tmodel, cfg_m, params = make_pair(hidden=128, embed=64, seed=5)
+    cfg_m, params = make_pair(golden, "pair", hidden=128, embed=64, seed=5)
     k, pose, t_true, px = _scene(rng, n=4)
     x0 = (pose + rng.randn(*pose.shape).astype(np.float32) * 0.05)
     iters = 40
 
-    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
-    want = _ref_oil(R, tmodel, tsde, x0, t_true, px, None, k, iters)
+    def ref_oil_out():
+        R = ref()
+        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+        return _ref_oil(R, golden.model("pair"), tsde, x0, t_true, px, None,
+                        k, iters)
+
+    want = golden.get("want", ref_oil_out)
 
     jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
     sampler = PCSampler(sde=jsde, predictor="euler_maruyama",
@@ -1139,24 +1355,29 @@ def test_oil_score_reuse_deviation_vs_reference(rng):
 
 
 # ------------------------------------------------- (c) end-to-end agreement
-def test_end_to_end_solve_metric_parity(rng):
+def test_end_to_end_solve_metric_parity(rng, golden):
     """Full reference driver (IPO + OIL, opt_main.py:160-224) vs
     pipeline.solve at reduced iterations: poses within 0.1mm, MPJPE within
     0.1mm (BASELINE.md parity bar, proxied on the real reference CODE since
     real checkpoints don't exist in this environment)."""
-    R = ref()
-    tmodel, cfg_m, params = make_pair(hidden=128, embed=64, seed=3)
+    cfg_m, params = make_pair(golden, "pair", hidden=128, embed=64, seed=3)
     k, pose_gt, t_true, px = _scene(rng, n=5)
     cluster = (pose_gt[0] + rng.randn(17, 3).astype(np.float32) * 0.08)
     ipo_iters, oil_iters = 60, 25
 
-    # --- reference path
-    pose0 = cluster - cluster[0:1]
-    pose0_b = np.broadcast_to(pose0[None], pose_gt.shape).copy()
-    want_rot, want_t = _ref_ipo(R, pose0_b, px, k, ipo_iters)
-    x0_ref = np.einsum("bij,bnj->bni", want_rot, pose0_b).astype(np.float32)
-    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
-    want = _ref_oil(R, tmodel, tsde, x0_ref, want_t, px, None, k, oil_iters)
+    def ref_e2e():
+        # the reference driver verbatim: IPO -> rotate -> OIL
+        R = ref()
+        pose0 = cluster - cluster[0:1]
+        pose0_b = np.broadcast_to(pose0[None], pose_gt.shape).copy()
+        want_rot, want_t = _ref_ipo(R, pose0_b, px, k, ipo_iters)
+        x0_ref = np.einsum("bij,bnj->bni", want_rot,
+                           pose0_b).astype(np.float32)
+        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+        return _ref_oil(R, golden.model("pair"), tsde, x0_ref, want_t, px,
+                        None, k, oil_iters)
+
+    want = golden.get("want", ref_e2e)
 
     # --- jax path (the shipped pipeline, single hypothesis)
     jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
@@ -1179,7 +1400,7 @@ def test_end_to_end_solve_metric_parity(rng):
     assert abs(mpjpe_ref - mpjpe_got) < 1e-4  # 0.1mm in meters
 
 # ------------------------------------------------ full train-step trajectory
-def test_train_step_trajectory_parity(rng, monkeypatch):
+def test_train_step_trajectory_parity(rng, golden, monkeypatch):
     """K full training steps through the reference's REAL train path —
     losses.get_step_fn(train=True) + optimization_manager (warmup + clip,
     losses.py:39-53,199) + torch Adam + ExponentialMovingAverage — vs
@@ -1193,10 +1414,7 @@ def test_train_step_trajectory_parity(rng, monkeypatch):
     from zedo_tpu.diffusion import losses as losses_lib
     from zedo_tpu.train import trainer as trainer_lib
 
-    R = ref()
-    import lib.algorithms.advanced.losses as ref_losses
-
-    tmodel, cfg0, params = make_pair(hidden=128, embed=64)
+    cfg0, params = make_pair(golden, "pair", hidden=128, embed=64)
     cfg = _dc.replace(cfg0, dropout=0.0)
 
     B, K, eps = 8, 5, 1e-5
@@ -1212,26 +1430,46 @@ def test_train_step_trajectory_parity(rng, monkeypatch):
     oconf.optim = ml_collections.ConfigDict(dict(
         optimizer="Adam", lr=2e-3, beta1=0.9, eps=1e-8, warmup=3,
         grad_clip=0.5, weight_decay=0))
-    tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
     jsde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
 
-    # --- reference side (real torch train path)
-    topt = ref_losses.get_optimizer(oconf, tmodel.parameters())
-    tema = R.ema.ExponentialMovingAverage(
-        [p for p in tmodel.parameters() if p.requires_grad], decay=0.9999)
-    tstep = ref_losses.get_step_fn(
-        tsde, train=True, optimize_fn=ref_losses.optimization_manager(oconf),
-        reduce_mean=True, continuous=True)
-    tstate = dict(model=tmodel, optimizer=topt, ema=tema, step=0)
-    monkeypatch.setattr(
-        torch, "rand", lambda *a, **k: torch.tensor((t_fix - eps) / (0.1 - eps)))
-    monkeypatch.setattr(torch, "randn_like", lambda x: torch.tensor(z_fix))
-    # train-mode forward must be deterministic for a trajectory comparison
-    # (the reference hard-codes Dropout(0.25), model.py:117)
-    monkeypatch.setattr(torch.nn.functional, "dropout", lambda x, *a, **k: x)
-    for _ in range(K):
-        tstep(tstate, torch.tensor(batch), None, None)
-    assert tstate["step"] == K
+    def ref_train():
+        # the reference's real torch train path, K steps in place
+        R = ref()
+        import lib.algorithms.advanced.losses as ref_losses
+
+        tmodel = golden.model("pair")
+        tsde = R.sde_lib.subVPSDE(0.1, 20.0, 1000, T=0.1)
+        topt = ref_losses.get_optimizer(oconf, tmodel.parameters())
+        tema = R.ema.ExponentialMovingAverage(
+            [p for p in tmodel.parameters() if p.requires_grad],
+            decay=0.9999)
+        tstep = ref_losses.get_step_fn(
+            tsde, train=True,
+            optimize_fn=ref_losses.optimization_manager(oconf),
+            reduce_mean=True, continuous=True)
+        tstate = dict(model=tmodel, optimizer=topt, ema=tema, step=0)
+        monkeypatch.setattr(
+            torch, "rand",
+            lambda *a, **k: torch.tensor((t_fix - eps) / (0.1 - eps)))
+        monkeypatch.setattr(torch, "randn_like",
+                            lambda x: torch.tensor(z_fix))
+        # train-mode forward must be deterministic for a trajectory
+        # comparison (the reference hard-codes Dropout(0.25), model.py:117)
+        monkeypatch.setattr(torch.nn.functional, "dropout",
+                            lambda x, *a, **k: x)
+        for _ in range(K):
+            tstep(tstate, torch.tensor(batch), None, None)
+        assert tstate["step"] == K
+        monkeypatch.undo()
+        want_sd = {k: v.detach().numpy().copy()
+                   for k, v in tmodel.state_dict().items()}
+        # EMA shadows (reference: copy_to materializes the shadow)
+        tema.copy_to(tmodel.parameters())
+        want_ema_sd = {k: v.detach().numpy().copy()
+                       for k, v in tmodel.state_dict().items()}
+        return {"params_sd": want_sd, "ema_sd": want_ema_sd}
+
+    ref_out = golden.get("ref", ref_train)
 
     # --- jax side (the shipped optax chain), same injected draws
     monkeypatch.setattr(
@@ -1263,12 +1501,8 @@ def test_train_step_trajectory_parity(rng, monkeypatch):
             {k: v for k, v in want_tree.items() if k != "sigmas"},
         )  # sigmas: buffer, not trained on either side
 
-    want = ckpt_lib.params_from_torch_state_dict(
-        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}, cfg)
+    want = ckpt_lib.params_from_torch_state_dict(ref_out["params_sd"], cfg)
     assert_trees_close(state.params, want, "params")
 
-    # EMA shadows agree too (reference: copy_to materializes the shadow)
-    tema.copy_to(tmodel.parameters())
-    want_ema = ckpt_lib.params_from_torch_state_dict(
-        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}, cfg)
+    want_ema = ckpt_lib.params_from_torch_state_dict(ref_out["ema_sd"], cfg)
     assert_trees_close(ema_lib.params_of(state.ema), want_ema, "ema")
