@@ -1,9 +1,11 @@
 """Multi-host bring-up path: parallel.mesh.init_distributed
 (jax.distributed.initialize) actually executes (VERDICT r2 weak #3).
 
-Runs in a subprocess because jax.distributed.initialize mutates global
+Runs in subprocesses because jax.distributed.initialize mutates global
 process state (coordinator service + client) that must not leak into the
-hermetic CPU test session.
+hermetic CPU test session. The 2-process child scripts live in
+zedo_tpu.parallel.multiprocess_check so the driver-visible dryrun
+(__graft_entry__.dryrun_multichip) runs the same evidence.
 """
 from __future__ import annotations
 
@@ -11,15 +13,7 @@ import os
 import subprocess
 import sys
 
-def _free_port() -> int:
-    """Ephemeral port for the coordinator (hard-coding flakes when two test
-    sessions share a machine)."""
-    import socket
-
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        return s.getsockname()[1]
-
+from zedo_tpu.parallel import multiprocess_check as mpc
 
 _CHILD = r"""
 import sys
@@ -55,173 +49,12 @@ print("init_distributed OK")
 """
 
 
-_CHILD_TRAIN = r"""
-import os, sys
-pid = int(sys.argv[1])
-port = sys.argv[2]
-import jax
-jax.config.update("jax_platforms", "cpu")
-from zedo_tpu.parallel import mesh as mesh_lib
-mesh_lib.init_distributed(coordinator_address="localhost:" + port,
-                          num_processes=2, process_id=pid)
-import numpy as np
-import jax.numpy as jnp
-import ml_collections
-from jax.sharding import NamedSharding, PartitionSpec as P
-from zedo_tpu.diffusion import losses as losses_lib
-from zedo_tpu.diffusion.sde import SubVPSDE
-from zedo_tpu.models import score_mlp
-from zedo_tpu.train import trainer
-
-mesh = mesh_lib.default_mesh()  # spans both processes' devices
-assert mesh.devices.size == 8, mesh.devices.size
-
-cfg = score_mlp.ScoreMLPConfig(n_joints=17, joint_dim=3, hidden_dim=64,
-                               embed_dim=32, n_blocks=1,
-                               embedding_type="positional")
-params = score_mlp.init_params(jax.random.PRNGKey(0), cfg)
-conf = ml_collections.ConfigDict()
-conf.optim = ml_collections.ConfigDict(dict(
-    optimizer="Adam", lr=2e-4, beta1=0.9, eps=1e-8, warmup=0,
-    grad_clip=1.0, weight_decay=0))
-optimizer = losses_lib.get_optimizer(conf)
-state = losses_lib.init_train_state(params, optimizer, ema_decay=0.9999)
-sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=1.0)
-step, bsh = trainer.make_sharded_train_step(
-    mesh, sde, score_mlp.apply, cfg, optimizer)
-
-repl = NamedSharding(mesh, P())
-def replicate(x):
-    x = np.asarray(x)
-    return jax.make_array_from_callback(x.shape, repl, lambda idx: x[idx])
-state = jax.tree.map(replicate, state)
-rng = jax.tree.map(replicate, jax.random.PRNGKey(7))
-gbatch = np.linspace(0, 1, 16 * 17 * 3, dtype=np.float32).reshape(16, 17, 3)
-batch = jax.make_array_from_callback(gbatch.shape, bsh, lambda idx: gbatch[idx])
-
-new_state, loss = step(state, rng, batch, None, None)
-jax.block_until_ready(loss)
-loss_v = float(np.asarray(jax.device_get(loss.addressable_data(0))))
-wsum = jax.jit(lambda s: jnp.sum(s.params["pre_dense"]["weight"]),
-               out_shardings=repl)(new_state)
-wsum_v = float(np.asarray(jax.device_get(wsum.addressable_data(0))))
-print(f"RESULT loss={loss_v:.6f} wsum={wsum_v:.6f} "
-      f"step={int(jax.device_get(new_state.step.addressable_data(0)))}")
-jax.distributed.shutdown()
-"""
-
-
-_CHILD_SOLVE = r"""
-import os, sys
-pid = int(sys.argv[1])
-port = sys.argv[2]
-import jax
-jax.config.update("jax_platforms", "cpu")
-from zedo_tpu.parallel import mesh as mesh_lib
-mesh_lib.init_distributed(coordinator_address="localhost:" + port,
-                          num_processes=2, process_id=pid)
-import numpy as np
-import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
-from zedo_tpu.diffusion.sampling import PCSampler
-from zedo_tpu.diffusion.sde import SubVPSDE
-from zedo_tpu.models import score_mlp
-from zedo_tpu.ops import camera
-from zedo_tpu.zeroshot import ipo as ipo_lib
-from zedo_tpu.zeroshot import oil as oil_lib
-from zedo_tpu.zeroshot import pipeline
-
-mesh = mesh_lib.default_mesh()  # 4+4 devices across the two processes
-assert mesh.devices.size == 8, mesh.devices.size
-
-cfg = score_mlp.ScoreMLPConfig(n_joints=17, joint_dim=3, hidden_dim=64,
-                               embed_dim=32, n_blocks=1,
-                               embedding_type="positional")
-params = score_mlp.init_params(jax.random.PRNGKey(2), cfg)
-sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
-sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
-                    probability_flow=True, denoise=True, eps=0.01)
-zcfg = pipeline.ZeDOConfig(ipo=ipo_lib.IPOConfig(iterations=5),
-                           oil=oil_lib.OILConfig(iterations=5))
-
-# deterministic synthetic scene, identical in both processes
-rng = np.random.RandomState(7)
-n = 16
-pose = rng.randn(n, 17, 3).astype(np.float32) * 0.25
-pose -= pose[:, 0:1]
-t = np.zeros((n, 1, 3), np.float32); t[..., 2] = 4.0
-k = np.zeros((n, 3, 3), np.float32)
-k[:, 0, 0] = k[:, 1, 1] = 1000.0
-k[:, 0, 2] = k[:, 1, 2] = 500.0
-k[:, 2, 2] = 1.0
-px = np.asarray(camera.project(jnp.asarray(pose + t), jnp.asarray(k)))
-clusters = pose[:1]
-
-bsh = NamedSharding(mesh, P("data"))
-repl = NamedSharding(mesh, P())
-def gshard(x, sh):
-    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
-
-res = pipeline.solve_sharded(
-    mesh, jax.tree.map(lambda a: gshard(np.asarray(a), repl), params),
-    cfg, sde, sampler, zcfg,
-    gshard(clusters, repl), gshard(px, bsh), None, gshard(k, bsh),
-    rng=gshard(np.asarray(jax.random.PRNGKey(0)), repl),
-)
-gathered = jax.jit(lambda x: x, out_shardings=repl)(res.poses)
-jax.block_until_ready(gathered)
-full = np.asarray(jax.device_get(gathered.addressable_data(0)))
-
-# single-process oracle on this process's default device
-local = np.asarray(pipeline.solve_jit(
-    params, cfg, sde, sampler, zcfg,
-    jnp.asarray(clusters), jnp.asarray(px), None, jnp.asarray(k)).poses)
-maxdiff = float(np.abs(full - local).max())
-print(f"RESULT shape={full.shape} sum={float(full.sum()):.6f} "
-      f"maxdiff_vs_single={maxdiff:.2e} ok={maxdiff < 1e-5}")
-jax.distributed.shutdown()
-"""
-
-
-def _run_two_process(child_src, tmp_path, timeout=300):
-    """Launch the child script as 2 coordinated processes x 4 devices and
-    return their RESULT lines."""
-    import subprocess as sp
-
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    inherited = " ".join(
-        f for f in env.get("XLA_FLAGS", "").split()
-        if "xla_force_host_platform_device_count" not in f)
-    env["XLA_FLAGS"] = (inherited
-                        + " --xla_force_host_platform_device_count=4").strip()
-    env["PYTHONPATH"] = os.pathsep.join(
-        p for p in (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    env.get("PYTHONPATH", "")) if p
-    )
-    port = str(_free_port())
-    procs = [
-        sp.Popen([sys.executable, "-c", child_src, str(pid), port],
-                 env=env, stdout=sp.PIPE, stderr=sp.PIPE, text=True,
-                 cwd=str(tmp_path))
-        for pid in (0, 1)
-    ]
-    outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=timeout)
-        assert p.returncode == 0, (out, err)
-        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
-        assert len(lines) == 1, out
-        outs.append(lines[0])
-    return outs
-
-
 def test_two_process_sharded_eval_solve(tmp_path):
     """The headline eval workload (pipeline.solve_sharded) across TWO real
     processes (VERDICT r3 weak #2): a 4+4-device global mesh with the pose
     batch globally sharded. Both processes must see the identical gathered
     result, and it must match a single-process solve of the same scene."""
-    outs = _run_two_process(_CHILD_SOLVE, tmp_path)
+    outs = mpc.run_two_process(mpc.CHILD_SOLVE, cwd=str(tmp_path))
     assert outs[0] == outs[1], outs  # same global result on both processes
     assert "ok=True" in outs[0], outs[0]  # and it matches the 1-process solve
 
@@ -232,7 +65,7 @@ def test_two_process_data_parallel_train_step(tmp_path):
     the cross-process (Gloo) backend — the CPU analogue of a 2-host DCN
     launch. Both processes must compute the identical loss AND identical
     updated weights (the all-reduce is what keeps replicas in sync)."""
-    outs = _run_two_process(_CHILD_TRAIN, tmp_path)
+    outs = mpc.run_two_process(mpc.CHILD_TRAIN, cwd=str(tmp_path))
     assert outs[0] == outs[1], outs  # replicas stayed bit-identical
     assert "step=1" in outs[0]
 
@@ -249,7 +82,7 @@ def test_init_distributed_single_process():
                     env.get("PYTHONPATH", "")) if p
     )
     proc = subprocess.run(
-        [sys.executable, "-c", _CHILD, str(_free_port())], env=env,
+        [sys.executable, "-c", _CHILD, str(mpc.free_port())], env=env,
         capture_output=True, text=True, timeout=300,
     )
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
