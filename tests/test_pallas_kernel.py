@@ -155,3 +155,25 @@ def test_pallas_kernel_co_executes_with_mesh(rng):
     # kernel path vs plain XLA forward (f32 packing): tight agreement
     np.testing.assert_allclose(got_pallas_sharded, got_xla_sharded,
                                atol=5e-4, rtol=1e-3)
+
+
+def test_analytic_fwd_flops_matches_cost_estimate_literal():
+    """analytic_fwd_flops (bench.py's MFU basis) must equal the kernel's own
+    cost_estimate formula (score_kernel.py pallas_call: flops =
+    2*b*(2*io_pad*h + 4*h*h + 10*h*LANE) for the 2-block architecture)."""
+    from zedo_tpu.models.score_mlp import ScoreMLPConfig
+    from zedo_tpu.ops.pallas import score_kernel as sk
+
+    cfg = ScoreMLPConfig()  # flagship: 17 joints, 1024 hidden, 2 blocks
+    b = 512
+    h, io_pad = cfg.hidden_dim, 128
+    expected = 2 * b * (2 * io_pad * h + 4 * h * h + 10 * h * sk.LANE)
+    assert sk.analytic_fwd_flops(b, cfg) == expected
+
+    # generalized n_blocks: each extra block adds two h*h matmuls and two
+    # GroupNorms (2*2*h*LANE indicator matmuls)
+    import dataclasses
+
+    cfg3 = dataclasses.replace(cfg, n_blocks=3)
+    assert (sk.analytic_fwd_flops(b, cfg3) - sk.analytic_fwd_flops(b, cfg)
+            == 2 * b * (2 * h * h + 4 * h * sk.LANE))

@@ -260,6 +260,21 @@ def fused_score_forward(
     )
 
 
+def analytic_fwd_flops(batch_rows: int, cfg) -> int:
+    """Analytic FLOPs of one fused score forward on `batch_rows` poses —
+    the same formula as the kernel's `cost_estimate` above (generalized over
+    n_blocks: the 4*h*h term is the 2*n_blocks hidden matmuls, the 10*h*LANE
+    term the (1+2*n_blocks) GroupNorms' two indicator matmuls each). Used by
+    bench.py to put achieved model-FLOP/s and MFU into the artifact."""
+    h = cfg.hidden_dim
+    io = cfg.n_joints * cfg.joint_dim
+    io_pad = math.ceil(io / LANE) * LANE
+    n_gn = 1 + 2 * cfg.n_blocks
+    return 2 * batch_rows * (
+        2 * io_pad * h + 2 * cfg.n_blocks * h * h + 2 * n_gn * h * LANE
+    )
+
+
 def pad_rows(x: jax.Array, tile: int) -> jax.Array:
     """Zero-pad leading axis to a tile multiple."""
     b = x.shape[0]
