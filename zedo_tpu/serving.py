@@ -20,6 +20,29 @@ from typing import Optional
 import numpy as np
 
 
+def _rank_and_pack(poses, trans, kp2d, k):
+    """On-device hypothesis ranking + single-buffer packing.
+
+    The serving-latency profile on the remote-relay TPU is dominated by
+    device->host round-trips (~30-40 ms each), not compute: fetching poses,
+    translations, and the reprojection ranking separately costs 3-4 trips
+    (~110 ms fixed). This computes the reprojection error [N, S] on device
+    and concatenates everything into ONE flat f32 buffer so predict() pays
+    exactly one transfer."""
+    import jax.numpy as jnp
+
+    from zedo_tpu.ops.camera import project
+
+    n = poses.shape[0]
+    cam = poses + trans  # [N, S, j, 3]
+    proj = project(cam, k[:, None])
+    err = jnp.abs(proj - kp2d[:, None, :, :2]).mean(axis=(2, 3))  # [N, S]
+    return jnp.concatenate(
+        [poses.reshape(n, -1).astype(jnp.float32),
+         trans.reshape(n, -1).astype(jnp.float32),
+         err.astype(jnp.float32)], axis=1)
+
+
 def _load_config(config_path: str):
     spec = importlib.util.spec_from_file_location("zedo_serving_config", config_path)
     mod = importlib.util.module_from_spec(spec)
@@ -121,6 +144,44 @@ class ZeDOEstimator:
                    zcfg=zcfg, clusters=clusters, precision=precision,
                    batch_bucket=batch_bucket, mesh=mesh)
 
+    def with_schedule(self, oil_iterations: int,
+                      ipo_iterations: Optional[int] = None,
+                      score_reuse: Optional[int] = None) -> "ZeDOEstimator":
+        """Short-schedule variant for latency-bound serving.
+
+        Re-discretizes the reverse schedule: the SAME T->eps annealing is
+        integrated with `oil_iterations` larger Euler steps (the SDE's step
+        count N is set to `oil_iterations`, so dt = 1/iterations — total
+        prior contraction is preserved). This is the characterized
+        low-latency mode (DESIGN.md "Low-latency serving"): on the trained
+        fixture, 1000->200 steps costs +0.4 mm and 1000->100 +1.1 mm
+        best-hypothesis MPJPE, while naive truncation (keeping dt = 1/1000)
+        diverges (212 mm at 50 steps). Latency scales ~linearly with steps.
+
+        Returns a NEW estimator (compiled executables are cached per
+        schedule); the original is untouched.
+        """
+        sde = dataclasses.replace(self.sde, n=oil_iterations)
+        sampler = dataclasses.replace(self.sampler, sde=sde)
+        oil_kw = {"iterations": oil_iterations}
+        if score_reuse is not None:
+            oil_kw["score_reuse"] = score_reuse
+        zcfg = dataclasses.replace(
+            self.zcfg,
+            ipo=(self.zcfg.ipo if ipo_iterations is None else
+                 dataclasses.replace(self.zcfg.ipo,
+                                     iterations=ipo_iterations)),
+            oil=dataclasses.replace(self.zcfg.oil, **oil_kw),
+        )
+        return dataclasses.replace(self, sde=sde, sampler=sampler, zcfg=zcfg)
+
+    def low_latency(self) -> "ZeDOEstimator":
+        """The characterized low-latency preset: OIL 200 (re-discretized),
+        IPO 100 — +0.4 mm on the trained fixture vs the full 1000/500
+        schedule, ~5x fewer sequential steps (p50 <= 100 ms at N <= 32 on
+        v5e, tools/bench_serving.py --oil 200 --ipo 100)."""
+        return self.with_schedule(200, ipo_iterations=100)
+
     def predict(self, keypoints_2d: np.ndarray, k: np.ndarray,
                 confidence: Optional[np.ndarray] = None):
         """keypoints_2d [N, j, 2], k [N, 3, 3], confidence [N, j] or None
@@ -149,15 +210,27 @@ class ZeDOEstimator:
         kwargs = dict(rng=jax.random.PRNGKey(self.seed), precision=self.precision)
         if self.mesh is not None:
             result = pipeline.solve_sharded(self.mesh, *common, **kwargs)
+            # multi-chip (throughput) path: gather then rank on host
+            poses = unpad(np.asarray(result.poses), mask)
+            trans = unpad(np.asarray(result.translations), mask)
+            cam = poses + trans  # [N, S, j, 3]
+            proj = np.asarray(project(jnp.asarray(cam), jnp.asarray(k[:, None])))
+            err = np.abs(proj - keypoints_2d[:, None, :, :2]).mean(axis=(2, 3))
         else:
             result = pipeline.solve_jit(*common, **kwargs)
-        poses = unpad(np.asarray(result.poses), mask)
-        trans = unpad(np.asarray(result.translations), mask)
-
-        # rank hypotheses by reprojection error (no GT at serving time)
-        cam = poses + trans  # [N, S, j, 3]
-        proj = np.asarray(project(jnp.asarray(cam), jnp.asarray(k[:, None])))
-        err = np.abs(proj - keypoints_2d[:, None]).mean(axis=(2, 3))  # [N, S]
+            # latency path: rank hypotheses by reprojection error ON DEVICE
+            # (no GT at serving time) and fetch one packed buffer — a single
+            # device->host round-trip instead of 3-4 (each costs ~30-40 ms
+            # over the remote relay)
+            packed = jax.jit(_rank_and_pack)(
+                result.poses, result.translations,
+                jnp.asarray(padded["kp"]), jnp.asarray(padded["k"]))
+            host = unpad(np.asarray(packed), mask)  # [N, S*j*3 + S*3 + S]
+            s = len(self.clusters)
+            j = self.model_cfg.n_joints
+            poses = host[:, :s * j * 3].reshape(n, s, j, 3)
+            trans = host[:, s * j * 3:s * j * 3 + s * 3].reshape(n, s, 1, 3)
+            err = host[:, s * j * 3 + s * 3:]  # [N, S]
         best = err.argmin(axis=1)
         return {"poses": poses, "translations": trans, "best": best,
                 "reprojection_error": err}
