@@ -284,3 +284,22 @@ def test_is_tpu_like_capability_probe():
     assert resolve_dtype("bf16") == "bf16"
     assert resolve_dtype("fp32") == "fp32"
     assert resolve_dtype("auto") == "fp32"
+
+
+def test_resolve_prng_default_policy():
+    """The recorded training-PRNG default policy (VERDICT r4 weak #9):
+    --prng auto = rbg on TPU-class backends (+21% poses/s on v5e,
+    DESIGN.md), threefry on host backends so the hermetic CPU suite (which
+    drives train_pose_mini.main in-process) keeps bit-reproducible draws
+    and never has the global jax_default_prng_impl flipped under it."""
+    import jax
+
+    from zedo_tpu.utils.config import resolve_prng
+
+    # explicit choices pass through unchanged on any backend
+    assert resolve_prng("threefry") == "threefry"
+    assert resolve_prng("rbg") == "rbg"
+    # auto on the CPU test backend = threefry (and the in-process CLI runs
+    # in this suite therefore leave the global PRNG impl alone)
+    assert resolve_prng("auto") == "threefry"
+    assert "threefry" in jax.config.jax_default_prng_impl  # threefry2x32

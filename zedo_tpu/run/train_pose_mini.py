@@ -44,13 +44,16 @@ def parse_args(argv):
                         choices=["fp32", "bf16"],
                         help="bf16 = mixed-precision train step (bf16 MXU "
                              "matmuls, f32 loss/grads/Adam/master weights)")
-    parser.add_argument("--prng", type=str, default="threefry",
-                        choices=["threefry", "rbg"],
+    parser.add_argument("--prng", type=str, default="auto",
+                        choices=["auto", "threefry", "rbg"],
                         help="rbg = hardware counter-based PRNG for the "
                              "dropout/noise draws: +21%% training throughput "
                              "on v5e (threefry bit-generation is 24%% of the "
                              "step at batch 50k — DESIGN.md); draws differ "
-                             "from threefry but are statistically equivalent")
+                             "from threefry but are statistically equivalent. "
+                             "Default 'auto' = rbg on TPU-class backends "
+                             "(production speed), threefry elsewhere "
+                             "(cross-version-reproducible host runs)")
     parser.add_argument("--model", type=str, default="score",
                         choices=["score", "control", "cond"],
                         help="network to train (mirrors opt_main_infant's "
@@ -147,10 +150,12 @@ def build_eval_dataset(config, args):
 
 def main(args):
     config = FLAGS.config
-    from zedo_tpu.utils.config import apply_overrides, enable_compilation_cache
+    from zedo_tpu.utils.config import (
+        apply_overrides, enable_compilation_cache, resolve_prng,
+    )
 
     enable_compilation_cache()
-    if getattr(args, "prng", "threefry") == "rbg":
+    if resolve_prng(getattr(args, "prng", "auto")) == "rbg":
         # must precede any PRNGKey creation; affects every key this process
         # derives (dropout, noise, shuffles stay numpy). A run resumes
         # reproducibly only under the same --prng choice.

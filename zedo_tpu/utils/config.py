@@ -115,6 +115,21 @@ def resolve_dtype(choice: str) -> str:
     return "bf16" if is_tpu_like() else "fp32"
 
 
+def resolve_prng(choice: str) -> str:
+    """Training --prng resolution (the recorded default policy, VERDICT r4
+    weak #9): 'auto' = the hardware counter-based 'rbg' generator on
+    TPU-class backends — threefry bit-generation for the dropout masks is
+    24% of the train step at batch 50k and rbg recovers two-thirds of it
+    (+21% poses/s measured on v5e, DESIGN.md "Where the training time
+    goes") with statistically-equivalent draws — and 'threefry' elsewhere,
+    keeping host/CPU runs (and the hermetic test suite) bit-reproducible
+    across JAX versions. Explicit 'threefry' is the reproducibility escape
+    hatch on TPU; a run resumes reproducibly only under the same choice."""
+    if choice != "auto":
+        return choice
+    return "rbg" if is_tpu_like() else "threefry"
+
+
 def apply_overrides(config, overrides: list[str]):
     """Apply 'dotted.path=value' strings to an ml_collections ConfigDict.
 
