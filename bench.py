@@ -130,13 +130,20 @@ def main():
     else:
         precision = jax.lax.Precision.HIGHEST
 
-    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=1000, t_max=0.1)
+    reuse = cli_int_arg(sys.argv, "--reuse", 1)  # opt-in NFE reduction (OILConfig.score_reuse)
+    tile = cli_int_arg(sys.argv, "--tile", 0)  # 0 = OILConfig default
+    # opt-in re-discretized short schedule (serving.with_schedule semantics:
+    # sde.n := iterations so dt = 1/iterations, preserving total prior
+    # contraction; characterized +0.4mm at 200 steps on the trained fixture
+    # — DESIGN.md "Low-latency serving"). Reachable on the CLIs via
+    # --override ZeDO.OIL_iterations=200 model.num_scales=200.
+    oil_iters = cli_int_arg(sys.argv, "--oil", 0) or 1000  # 1000 = exact
+
+    sde = SubVPSDE(beta_min=0.1, beta_max=20.0, n=oil_iters, t_max=0.1)
     sampler = PCSampler(sde=sde, predictor="euler_maruyama", corrector="none",
                         probability_flow=True, denoise=True, eps=0.01)
     zcfg = pipeline.ZeDOConfig()  # 500 IPO / 1000 OIL, h36m keylist
-    reuse = cli_int_arg(sys.argv, "--reuse", 1)  # opt-in NFE reduction (OILConfig.score_reuse)
-    tile = cli_int_arg(sys.argv, "--tile", 0)  # 0 = OILConfig default
-    if reuse > 1 or tile:
+    if reuse > 1 or tile or oil_iters != 1000:
         import dataclasses
 
         oil_kw = {}
@@ -144,6 +151,8 @@ def main():
             oil_kw["score_reuse"] = reuse
         if tile:
             oil_kw["pallas_tile"] = tile
+        if oil_iters != 1000:
+            oil_kw["iterations"] = oil_iters
         zcfg = dataclasses.replace(
             zcfg, oil=dataclasses.replace(zcfg.oil, **oil_kw))
 
@@ -211,6 +220,9 @@ def main():
         # NFE-reduced runs must be unmistakable from the exact-dynamics
         # headline (score_reuse costs a characterized +0.1mm)
         metric += f"_reuse{reuse}"
+    if oil_iters != 1000:
+        # short-schedule runs likewise (+0.4mm at 200 steps, DESIGN.md)
+        metric += f"_oil{oil_iters}"
     # the 60s target is defined for the (886, 50) H36M workload
     # (BASELINE.json); other shapes compare against a rate-scaled target
     target_s = 60.0 * (n * s) / (886 * 50)
