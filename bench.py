@@ -50,7 +50,7 @@ def run_trained(n, s):
 
     t0 = _time.time()
     out = bench_trained.run_trained_bounds(n=n, s=s)
-    out["wallclock_4_solves_s"] = round(_time.time() - t0, 3)
+    out["wallclock_5_solves_s"] = round(_time.time() - t0, 3)
     import jax
 
     result = {
@@ -243,7 +243,7 @@ def main():
             "score_reuse": reuse,
             "pallas_tile": tile or "auto",
             "nfe": n_evals,
-            "model_tflops": round(achieved / 1e12, 2),
+            "model_tflops": round(achieved / 1e12, 4),
             "bf16_peak_tflops": (round(peak / 1e12, 1) if peak else None),
             "mfu": (round(mfu, 4) if mfu is not None else None),
             "flops_basis": "kernel-analytic (score_kernel cost_estimate), "

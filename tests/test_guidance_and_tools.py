@@ -303,3 +303,38 @@ def test_resolve_prng_default_policy():
     # in this suite therefore leave the global PRNG impl alone)
     assert resolve_prng("auto") == "threefry"
     assert "threefry" in jax.config.jax_default_prng_impl  # threefry2x32
+
+
+def test_bench_artifact_smoke(tmp_path):
+    """bench.py (the driver's primary artifact) emits one valid JSON line
+    with the MFU accounting fields at any shape, and short-schedule runs
+    carry the _oilN metric suffix so they are unmistakable from the exact
+    headline. Runs hermetically (CPU backend, tiny shape, cache off)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               ZEDO_COMPILATION_CACHE="off")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def run(*flags):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py"),
+             "--n", "8", "--s", "2", *flags],
+            env=env, cwd=str(tmp_path), capture_output=True, text=True,
+            timeout=420)
+        assert proc.returncode == 0, (proc.stdout, proc.stderr)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    out = run("--oil", "10", "--reuse", "2")
+    assert out["metric"] == "eval_wallclock_n8_s2_reuse2_oil10"
+    assert out["unit"] == "s" and out["value"] > 0
+    ex = out["extras"]
+    assert ex["nfe"] == 5  # ceil(10 / reuse 2)
+    assert ex["model_tflops"] > 0
+    assert ex["flops_basis"].startswith("kernel-analytic")
+    # CPU backend: no bf16 peak entry -> mfu is null, not a bogus number
+    assert ex["mfu"] is None and ex["bf16_peak_tflops"] is None

@@ -134,6 +134,11 @@ def test_trained_bf16_and_reuse_bounds(family):
     assert out["reuse2_mpjpe_mm"] < out["fp32_mpjpe_mm"] + 0.2 * (
         out["init_mm"] - out["fp32_mpjpe_mm"]), out
     assert out["fp32_mpjpe_mm"] < 120.0, out
+    # the low-latency short schedule (1/5 steps, reuse=2) keeps most of the
+    # trained prior's gain over the init
+    assert out["short_iters"] == 60
+    assert out["short_reuse2_mpjpe_mm"] < out["fp32_mpjpe_mm"] + 0.25 * (
+        out["init_mm"] - out["fp32_mpjpe_mm"]), out
     # sanity: jnp/jax imported (bench helper returns plain floats)
     assert isinstance(out["fp32_mpjpe_mm"], float)
     del jax, jnp

@@ -108,6 +108,28 @@ def run_trained_bounds(n=886, s=50, oil_iterations=1000, ipo_iterations=500,
     pred_r2 = solve(params_bf16, 2, None)
     pred_r4 = solve(params_bf16, 4, None)
 
+    # the low-latency operating point (serving.with_schedule / bench --oil):
+    # the same T->eps annealing re-discretized to 1/5 the steps (sde.n :=
+    # iterations) + reuse=2 — the 0.4s/150x frontier entry (DESIGN.md
+    # "Low-latency serving"); its accuracy is re-verified on trained
+    # weights here so the claim rides in the --trained artifact
+    short_iters = max(2, oil_iterations // 5)
+    sde_s = SubVPSDE(beta_min=0.1, beta_max=20.0, n=short_iters, t_max=0.1)
+    sampler_s = PCSampler(sde=sde_s, predictor="euler_maruyama",
+                          corrector="none", probability_flow=True,
+                          denoise=True, eps=0.01)
+    zcfg_s = pipeline.ZeDOConfig(
+        ipo=ipo_lib.IPOConfig(iterations=ipo_iterations,
+                              keypoint_list=(0, 1, 4), rot_axes="z",
+                              t_norm=3.0),
+        oil=oil_lib.OILConfig(iterations=short_iters, sampling_eps=0.01,
+                              score_reuse=2))
+    res_s = pipeline.solve(params_bf16, cfg, sde_s, sampler_s, zcfg_s,
+                           jnp.asarray(clusters), jnp.asarray(px), None,
+                           jnp.asarray(k), rng=jax.random.PRNGKey(0),
+                           precision=None)
+    pred_short = np.asarray(res_s.poses, np.float32)
+
     def best_mpjpe(pred):
         pred = pred - pred[:, :, 0:1]
         err = np.sqrt(((pred - gt[:, None]) ** 2).sum(-1)).mean(-1)  # [n, s]
@@ -127,5 +149,7 @@ def run_trained_bounds(n=886, s=50, oil_iterations=1000, ipo_iterations=500,
         "reuse2_delta_mm": pose_delta(pred_bf16, pred_r2),
         "reuse4_mpjpe_mm": best_mpjpe(pred_r4),
         "reuse4_delta_mm": pose_delta(pred_bf16, pred_r4),
+        "short_iters": short_iters,
+        "short_reuse2_mpjpe_mm": best_mpjpe(pred_short),
         "init_mm": init_mm,
     }
