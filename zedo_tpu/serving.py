@@ -20,7 +20,7 @@ from typing import Optional
 import numpy as np
 
 
-def _rank_and_pack(poses, trans, kp2d, k):
+def _rank_and_pack_impl(poses, trans, kp2d, k):
     """On-device hypothesis ranking + single-buffer packing.
 
     The serving-latency profile on the remote-relay TPU is dominated by
@@ -41,6 +41,20 @@ def _rank_and_pack(poses, trans, kp2d, k):
         [poses.reshape(n, -1).astype(jnp.float32),
          trans.reshape(n, -1).astype(jnp.float32),
          err.astype(jnp.float32)], axis=1)
+
+
+_rank_and_pack = None  # jitted lazily (jax import deferred at module load)
+
+
+def _get_rank_and_pack():
+    """One module-level jitted instance: a fresh jax.jit per predict() call
+    would re-trace every request (each wrapper owns its own cache)."""
+    global _rank_and_pack
+    if _rank_and_pack is None:
+        import jax
+
+        _rank_and_pack = jax.jit(_rank_and_pack_impl)
+    return _rank_and_pack
 
 
 def _load_config(config_path: str):
@@ -222,7 +236,7 @@ class ZeDOEstimator:
             # (no GT at serving time) and fetch one packed buffer — a single
             # device->host round-trip instead of 3-4 (each costs ~30-40 ms
             # over the remote relay)
-            packed = jax.jit(_rank_and_pack)(
+            packed = _get_rank_and_pack()(
                 result.poses, result.translations,
                 jnp.asarray(padded["kp"]), jnp.asarray(padded["k"]))
             host = unpad(np.asarray(packed), mask)  # [N, S*j*3 + S*3 + S]
