@@ -203,9 +203,36 @@ def main():
             sig = 1.0 / (1.0 + jnp.exp(-xn))
             return (xn * sig).astype(jnp.float32)
 
+        def gn_vpu(c, ind, bc, bias, eps=1e-5):
+            # both GN stages on the VPU: variance via reshape + lane-group
+            # sum, broadcast via reshape (no MXU). Channel scale approximated
+            # by one extra multiply (the real impl would carry a [H] scale
+            # vector). Timing probe for replacing the two GN matmuls.
+            t, h = c.shape
+            g, size = 32, h // 32
+            sq = (c * c).reshape(t, g, size)
+            var_g = jnp.sum(sq, axis=-1) * (1.0 / size)  # [T, g]
+            rstd = jax.lax.rsqrt(var_g + eps)
+            rs = jnp.broadcast_to(rstd[:, :, None], (t, g, size)).reshape(t, h)
+            xn = c * rs * 1.01 + bias
+            return xn * (0.5 * jnp.tanh(0.5 * xn) + 0.5)
+
+        def gn_bcast_vpu(c, ind, bc, bias, eps=1e-5):
+            # stats on the MXU (as shipped), broadcast via VPU reshape
+            t, h = c.shape
+            g, size = 32, h // 32
+            sq = c * c
+            var_g = jnp.dot(sq.astype(ind.dtype), ind,
+                            preferred_element_type=jnp.float32)  # [T, 128]
+            rstd = jax.lax.rsqrt(var_g[:, :g] + eps)
+            rs = jnp.broadcast_to(rstd[:, :, None], (t, g, size)).reshape(t, h)
+            xn = c * rs * 1.01 + bias
+            return xn * (0.5 * jnp.tanh(0.5 * xn) + 0.5)
+
         for name, fn in (("full", orig), ("no_silu", no_silu),
                          ("no_gn", no_gn), ("dense_only", nothing),
-                         ("tanh_silu", tanh_silu), ("bf16_silu", bf16_silu)):
+                         ("tanh_silu", tanh_silu), ("bf16_silu", bf16_silu),
+                         ("gn_vpu", gn_vpu), ("gn_bcast_vpu", gn_bcast_vpu)):
             sk._gn_silu = fn
 
             def loop(x0):

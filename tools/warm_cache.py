@@ -36,7 +36,11 @@ def main():
     env["ZEDO_CACHE_SEED"] = "off"
     runs = [[]]
     if "--flagship-only" not in sys.argv:
-        runs += [["--n", "1716"], ["--reuse", "2"]]
+        runs += [["--n", "1716"], ["--reuse", "2"],
+                 # short-schedule frontier (DESIGN.md "Low-latency serving")
+                 ["--oil", "200"], ["--oil", "200", "--reuse", "2"],
+                 # trained-accuracy gate programs (hidden-256 fixture)
+                 ["--trained"]]
     for extra in runs:
         print(f"running bench {' '.join(extra) or '(flagship)'} "
               f"against scratch cache {scratch} ...")
