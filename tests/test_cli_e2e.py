@@ -1417,3 +1417,27 @@ def test_train_cli_rejects_cond_aug_and_h36m_aug(tmp_path, rng, monkeypatch):
     monkeypatch.setattr(train_cli, "FLAGS", _types.SimpleNamespace(config=config2))
     with pytest.raises(SystemExit, match="no augmentation source"):
         train_cli.main(_train_cli_args(aug=True, log_name="x2"))
+
+
+def test_opt_main_short_schedule_override(workdir):
+    """The documented low-latency batch-eval recipe (README/DESIGN:
+    `--override ZeDO.OIL_iterations=N model.num_scales=N`) runs end-to-end
+    through the real CLI pipeline: the SDE is re-discretized to the short
+    iteration count (opt_main.py builds it from model.num_scales), so the
+    short schedule keeps the prior contraction and still solves the scene."""
+    from zedo_tpu.utils.config import apply_overrides
+
+    config = h36m_cfg.get_config()
+    config.ZeDO.sample = 1
+    config.ZeDO.IPO_iterations = 30
+    apply_overrides(config, ["ZeDO.OIL_iterations=20", "model.num_scales=20"])
+    args = _args(workdir)
+    dataset = opt_main.build_dataset(config, args)
+    results = opt_main.run_pipeline(config, args, dataset)
+    assert results.shape == (8, 2, 17, 3)
+    assert np.all(np.isfinite(results))
+    e1 = dataset.eval_multi(results, protocol2=False, print_verbose=False)
+    e2 = dataset.eval_multi(results, protocol2=True, print_verbose=False)
+    # same sanity bound as the full-schedule e2e test: the 20-step
+    # re-discretized schedule must still land in the same regime
+    assert 0 < e2 <= e1 < 2.0
