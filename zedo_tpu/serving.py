@@ -205,7 +205,6 @@ class ZeDOEstimator:
         import jax.numpy as jnp
 
         from zedo_tpu.data.sharding import pad_batch, unpad
-        from zedo_tpu.ops.camera import project
         from zedo_tpu.zeroshot import pipeline
 
         n = len(keypoints_2d)
@@ -224,27 +223,23 @@ class ZeDOEstimator:
         kwargs = dict(rng=jax.random.PRNGKey(self.seed), precision=self.precision)
         if self.mesh is not None:
             result = pipeline.solve_sharded(self.mesh, *common, **kwargs)
-            # multi-chip (throughput) path: gather then rank on host
-            poses = unpad(np.asarray(result.poses), mask)
-            trans = unpad(np.asarray(result.translations), mask)
-            cam = poses + trans  # [N, S, j, 3]
-            proj = np.asarray(project(jnp.asarray(cam), jnp.asarray(k[:, None])))
-            err = np.abs(proj - keypoints_2d[:, None, :, :2]).mean(axis=(2, 3))
         else:
             result = pipeline.solve_jit(*common, **kwargs)
-            # latency path: rank hypotheses by reprojection error ON DEVICE
-            # (no GT at serving time) and fetch one packed buffer — a single
-            # device->host round-trip instead of 3-4 (each costs ~30-40 ms
-            # over the remote relay)
-            packed = _get_rank_and_pack()(
-                result.poses, result.translations,
-                jnp.asarray(padded["kp"]), jnp.asarray(padded["k"]))
-            host = unpad(np.asarray(packed), mask)  # [N, S*j*3 + S*3 + S]
-            s = len(self.clusters)
-            j = self.model_cfg.n_joints
-            poses = host[:, :s * j * 3].reshape(n, s, j, 3)
-            trans = host[:, s * j * 3:s * j * 3 + s * 3].reshape(n, s, 1, 3)
-            err = host[:, s * j * 3 + s * 3:]  # [N, S]
+        # rank hypotheses by reprojection error ON DEVICE (no GT at serving
+        # time) and fetch one packed buffer — a single device->host
+        # round-trip instead of 3-4 (each costs ~30-40 ms over the remote
+        # relay). On a mesh the pack jit runs under GSPMD on the sharded
+        # solve outputs (kp/k replicate automatically); the fetch gathers
+        # the shards in one logical transfer.
+        packed = _get_rank_and_pack()(
+            result.poses, result.translations,
+            jnp.asarray(padded["kp"]), jnp.asarray(padded["k"]))
+        host = unpad(np.asarray(packed), mask)  # [N, S*j*3 + S*3 + S]
+        s = len(self.clusters)
+        j = self.model_cfg.n_joints
+        poses = host[:, :s * j * 3].reshape(n, s, j, 3)
+        trans = host[:, s * j * 3:s * j * 3 + s * 3].reshape(n, s, 1, 3)
+        err = host[:, s * j * 3 + s * 3:]  # [N, S]
         best = err.argmin(axis=1)
         return {"poses": poses, "translations": trans, "best": best,
                 "reprojection_error": err}
