@@ -214,11 +214,12 @@ class ZeDOEstimator:
              "conf": None if confidence is None else np.asarray(confidence, np.float32)},
             self.batch_bucket,
         )
+        kp_dev, k_dev = jnp.asarray(padded["kp"]), jnp.asarray(padded["k"])
         common = (
             self.params, self.model_cfg, self.sde, self.sampler, self.zcfg,
-            jnp.asarray(self.clusters), jnp.asarray(padded["kp"]),
+            jnp.asarray(self.clusters), kp_dev,
             None if padded["conf"] is None else jnp.asarray(padded["conf"]),
-            jnp.asarray(padded["k"]),
+            k_dev,
         )
         kwargs = dict(rng=jax.random.PRNGKey(self.seed), precision=self.precision)
         if self.mesh is not None:
@@ -232,8 +233,7 @@ class ZeDOEstimator:
         # solve outputs (kp/k replicate automatically); the fetch gathers
         # the shards in one logical transfer.
         packed = _get_rank_and_pack()(
-            result.poses, result.translations,
-            jnp.asarray(padded["kp"]), jnp.asarray(padded["k"]))
+            result.poses, result.translations, kp_dev, k_dev)
         host = unpad(np.asarray(packed), mask)  # [N, S*j*3 + S*3 + S]
         s = len(self.clusters)
         j = self.model_cfg.n_joints
