@@ -114,7 +114,8 @@ class GoldenCase:
         lists/tuples, or (nested) dicts thereof."""
         if self.live:
             value = fn()
-            _flatten(key, value, self._store)
+            if REGEN:  # _store is only ever written under REGEN
+                _flatten(key, value, self._store)
             return value
         return _unflatten(self._files, key)
 

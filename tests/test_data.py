@@ -841,6 +841,22 @@ def test_augment_batch_cond_joint_flip(rng):
     np.testing.assert_array_equal(o3, w3)
     np.testing.assert_array_equal(o2, w2)
 
+    # members without the joint-aug method fail LOUDLY through the concat:
+    # a silent passthrough would defeat train_loop's augment_batch_cond
+    # guard (getattr on the concat finds the concat's own method)
+    class Stub:
+        db_2d = np.zeros((4, 17, 2), np.float32)
+        db_3d = np.zeros((4, 17, 3), np.float32)
+
+        def __len__(self):
+            return 4
+
+    stub_concat = ConcatDataset([Stub(), Stub()])
+    with pytest.raises(ValueError, match="augment_batch_cond"):
+        stub_concat.augment_batch_cond(x, c, np.random.RandomState(0))
+    with pytest.raises(ValueError, match="augment_batch"):
+        stub_concat.augment_batch(x, np.random.RandomState(0))
+
 
 def test_train_loop_cond_uses_joint_aug(tmp_path, rng):
     """train_loop with condition_data + flip/rot augs routes through

@@ -193,6 +193,12 @@ def test_with_schedule_short_accuracy():
     assert short.zcfg.ipo.iterations == 30
     assert base.sde.n == 240 and base.zcfg.oil.iterations == 240  # untouched
 
+    # oil_iterations=None adjusts only IPO, keeping the OIL schedule —
+    # the tools/bench_serving --ipo-alone path
+    ipo_only = base.with_schedule(None, ipo_iterations=30)
+    assert ipo_only.zcfg.ipo.iterations == 30
+    assert ipo_only.sde.n == 240 and ipo_only.zcfg.oil.iterations == 240
+
     def best_mpjpe(est):
         out = est.predict(px, k)
         pred = out["poses"] - out["poses"][:, :, 0:1]

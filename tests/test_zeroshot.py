@@ -342,6 +342,33 @@ def test_solve_sharded_matches_single_device(rng):
                                np.asarray(sharded_tr.poses),
                                atol=1e-5, rtol=1e-5)
 
+    # pad-aware trace (code review r5): pad N=5 real rows up to 8, pass
+    # pad_batch's mask as row_mask — the trace must equal the UNPADDED
+    # 5-row single-program oracle (pad rows excluded from the mean), not
+    # the padded 8-row mean the maskless call reports
+    from zedo_tpu.data import sharding as shard_lib
+
+    n_real = 5
+    short = (clusters, jnp.asarray(px[:n_real]), None, jnp.asarray(k[:n_real]))
+    oracle = pipeline.solve(params, cfg_m, sde, sampler, zcfg_tr, *short)
+    padded, mask = shard_lib.pad_batch(
+        {"px": px[:n_real], "k": k[:n_real]}, mesh.devices.size)
+    pad_args = (clusters, jnp.asarray(padded["px"]), None,
+                jnp.asarray(padded["k"]))
+    masked = pipeline.solve_sharded(
+        mesh, params, cfg_m, sde, sampler, zcfg_tr, *pad_args, row_mask=mask)
+    np.testing.assert_allclose(np.asarray(oracle.reproj_px),
+                               np.asarray(masked.reproj_px),
+                               atol=1e-4, rtol=1e-5)
+    unmasked = pipeline.solve_sharded(
+        mesh, params, cfg_m, sde, sampler, zcfg_tr, *pad_args)
+    assert not np.allclose(np.asarray(oracle.reproj_px),
+                           np.asarray(unmasked.reproj_px), atol=1e-6)
+    # poses are unaffected by the weighting
+    np.testing.assert_allclose(
+        np.asarray(oracle.poses),
+        shard_lib.unpad(np.asarray(masked.poses), mask), atol=1e-5, rtol=1e-5)
+
 
 def test_auto_tile_minimizes_padding():
     """pallas_tile=None picks the padding-minimal tile (largest on ties):

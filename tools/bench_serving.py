@@ -66,10 +66,11 @@ def main():
             params=params, model_cfg=cfg_m, sde=sde, sampler=sampler, zcfg=z,
             clusters=clusters, precision=None, batch_bucket=bucket,
         )
-        if oil_iters:
+        if oil_iters or ipo_iters:
             # the characterized short schedule (serving.with_schedule:
-            # SDE re-discretized so dt = 1/oil_iters)
-            est = est.with_schedule(oil_iters,
+            # SDE re-discretized so dt = 1/oil_iters); --ipo alone keeps
+            # the full 1000-step OIL schedule
+            est = est.with_schedule(oil_iters or None,
                                     ipo_iterations=ipo_iters or None)
         for n in (1, 16, 32, 256):
             if n > bucket or (n == 32 and bucket != 32):

@@ -63,19 +63,15 @@ def pose_family(seed=0, n=4096):
 
 
 def family_scenes(mu, u, seed, n):
-    """Held-out draws -> (gt root-centered [n,J,3] m, K [n,3,3], px [n,J,2])."""
-    rng = np.random.RandomState(seed)
-    z = rng.randn(n, RANK).astype(np.float32)
-    gt = mu[None] + np.einsum("nr,rjd->njd", z, u)
-    gt = (gt - gt[:, 0:1]).astype(np.float32)
-    k = np.zeros((n, 3, 3), np.float32)
-    k[:, 0, 0] = k[:, 1, 1] = FX
-    k[:, 0, 2] = k[:, 1, 2] = CX
-    k[:, 2, 2] = 1.0
-    cam = gt + T_VEC[None, None]
-    px = np.einsum("bij,bnj->bni", k, cam)
-    px = (px[..., :2] / px[..., 2:]).astype(np.float32)
-    return gt, k, px
+    """Held-out draws -> (gt root-centered [n,J,3] m, K [n,3,3], px [n,J,2]).
+
+    Delegates to zedo_tpu.bench_trained.make_scenes — the ONE implementation
+    of the fixture's scene/camera convention — so the committed scenes and
+    the bench's held-out draws can never desync (code review r5)."""
+    from zedo_tpu import bench_trained
+
+    family = {"mu": mu, "u": u, "fx": FX, "cx": CX, "t_vec": T_VEC}
+    return bench_trained.make_scenes(family, n, seed=seed)
 
 
 def train_prior():

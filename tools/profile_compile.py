@@ -84,7 +84,7 @@ def main():
     t_setup = time.time()
 
     fn = pipeline._sharded_solve_fn(
-        mesh, "data", True, cfg_m, sde, sampler, zcfg, None
+        mesh, "data", True, False, cfg_m, sde, sampler, zcfg, None
     )
     lowered = fn.lower(pp, cl, cond2d, cc, kk, rng)
     t_lower = time.time()

@@ -9,9 +9,11 @@ are harmless (key mismatch -> normal compile) but useless.
 
 Usage:  python tools/warm_cache.py [--flagship-only]
   Default captures ALL committed shapes — flagship + Ski (--n 1716) +
-  --reuse 2 — because regeneration PURGES the artifact dir first: a
-  flagship-only run would silently discard the committed secondary-shape
-  executables and fresh hosts would pay the 5-60s relay compile for them.
+  --reuse 2 + the low-latency serving preset (bench_serving --oil 200
+  --ipo 100 --bucket 32, the ZeDOEstimator.low_latency programs) — because
+  regeneration PURGES the artifact dir first: a flagship-only run would
+  silently discard the committed secondary-shape executables and fresh
+  hosts would pay the 5-60s relay compile for them.
   --flagship-only opts into the faster single-program capture.
 """
 from __future__ import annotations
@@ -34,23 +36,30 @@ def main():
     # seed the scratch dir from the existing artifacts and stale entries
     # would survive the purge below
     env["ZEDO_CACHE_SEED"] = "off"
-    runs = [[]]
+    runs = [("bench.py", [])]
     if "--flagship-only" not in sys.argv:
-        runs += [["--n", "1716"], ["--reuse", "2"],
+        runs += [("bench.py", ["--n", "1716"]), ("bench.py", ["--reuse", "2"]),
                  # short-schedule frontier (DESIGN.md "Low-latency serving")
-                 ["--oil", "200"], ["--oil", "200", "--reuse", "2"],
+                 ("bench.py", ["--oil", "200"]),
+                 ("bench.py", ["--oil", "200", "--reuse", "2"]),
                  # trained-accuracy gate programs (hidden-256 fixture)
-                 ["--trained"]]
-    for extra in runs:
-        print(f"running bench {' '.join(extra) or '(flagship)'} "
+                 ("bench.py", ["--trained"]),
+                 # ZeDOEstimator.low_latency serving programs (p50 45-48 ms
+                 # preset): one rep per request size is enough to compile
+                 ("tools/bench_serving.py",
+                  ["--oil", "200", "--ipo", "100", "--bucket", "32",
+                   "--reps", "1"])]
+    for script, extra in runs:
+        print(f"running {script} {' '.join(extra) or '(flagship)'} "
               f"against scratch cache {scratch} ...")
         proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), *extra],
+            [sys.executable, os.path.join(REPO, script), *extra],
             env=env, cwd=REPO,
         )
         if proc.returncode != 0:
             raise SystemExit(
-                f"bench {extra} failed rc={proc.returncode}; cache not updated")
+                f"{script} {extra} failed rc={proc.returncode}; "
+                f"cache not updated")
 
     captured = sorted(os.listdir(scratch))
     if not any(n.startswith("jit_shard_fn") for n in captured):

@@ -53,18 +53,26 @@ class ConcatDataset:
                     "per-member batch augmentation is not supported")
         return d0
 
+    def _member_aug(self, method):
+        """Resolve the member-level aug method, loudly. These methods are
+        only called when augmentation was requested — a member that cannot
+        augment must fail, not silently return the batch unchanged (that
+        would defeat train_loop's augment_batch_cond guard: getattr on the
+        concat finds THIS class's method, so the concat must re-impose the
+        member contract rather than absorb its absence)."""
+        d0 = self.datasets[0]
+        if not hasattr(d0, method):
+            raise ValueError(
+                f"augmentation requested but concat member "
+                f"{type(d0).__name__} provides no {method}")
+        return getattr(self._aug_delegate(), method)
+
     def augment_batch(self, batch_3d, rng):
         """Batch flip/rotate augs; valid because the concat use-case
         (mini + syrip at one joint convention) shares the flip joint maps —
         asserted, not assumed."""
-        d0 = self.datasets[0]
-        if not hasattr(d0, "augment_batch"):
-            return batch_3d
-        return self._aug_delegate().augment_batch(batch_3d, rng)
+        return self._member_aug("augment_batch")(batch_3d, rng)
 
     def augment_batch_cond(self, batch_3d, cond2d, rng):
         """Joint (pose, condition) flip aug — see PoseDataset.augment_batch_cond."""
-        d0 = self.datasets[0]
-        if not hasattr(d0, "augment_batch_cond"):
-            return batch_3d, cond2d
-        return self._aug_delegate().augment_batch_cond(batch_3d, cond2d, rng)
+        return self._member_aug("augment_batch_cond")(batch_3d, cond2d, rng)

@@ -200,12 +200,22 @@ def run_two_process(child_src: str, cwd: str | None = None,
         for pid in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=timeout)
-        assert p.returncode == 0, (out, err)
-        lines = [l for l in out.splitlines() if l.startswith("RESULT")]
-        assert len(lines) == 1, out
-        outs.append(lines[0])
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=timeout)
+            assert p.returncode == 0, (out, err)
+            lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+            assert len(lines) == 1, out
+            outs.append(lines[0])
+    finally:
+        # if either child failed (or timed out), its sibling is still
+        # blocked inside jax.distributed waiting on the dead peer — kill
+        # it by HANDLE so the failure surfaces as the child's error, not
+        # a multi-minute hang plus an orphaned process
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return outs
 
 

@@ -187,6 +187,7 @@ def run_pipeline(config, args, dataset, logger_print=print):
             jnp.asarray(padded["k"]),
             rng=jax.random.PRNGKey(args.seed),
             precision=precision,
+            row_mask=mask,  # no-op unless ZeDO.track_reproj is overridden on
         )
         poses = np.asarray(result.poses)
     elapsed = time.time() - t0

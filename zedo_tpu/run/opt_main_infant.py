@@ -202,6 +202,7 @@ def main(args):
         rng=jax.random.PRNGKey(args.seed), precision=precision,
         condition=(jnp.asarray(padded["cond_extra"])
                    if cond_extra is not None else None),
+        row_mask=pad_mask,  # keep pad rows out of the reproj diagnostic
     )
     batch_results = shard_lib.unpad(np.asarray(result.poses), pad_mask)
     reproj = np.asarray(result.reproj_px)  # [S, steps]

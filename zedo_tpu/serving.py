@@ -158,7 +158,7 @@ class ZeDOEstimator:
                    zcfg=zcfg, clusters=clusters, precision=precision,
                    batch_bucket=batch_bucket, mesh=mesh)
 
-    def with_schedule(self, oil_iterations: int,
+    def with_schedule(self, oil_iterations: Optional[int],
                       ipo_iterations: Optional[int] = None,
                       score_reuse: Optional[int] = None) -> "ZeDOEstimator":
         """Short-schedule variant for latency-bound serving.
@@ -171,13 +171,19 @@ class ZeDOEstimator:
         fixture, 1000->200 steps costs +0.4 mm and 1000->100 +1.1 mm
         best-hypothesis MPJPE, while naive truncation (keeping dt = 1/1000)
         diverges (212 mm at 50 steps). Latency scales ~linearly with steps.
+        `oil_iterations=None` keeps the current OIL schedule (use to adjust
+        only IPO iterations or score_reuse).
 
         Returns a NEW estimator (compiled executables are cached per
         schedule); the original is untouched.
         """
-        sde = dataclasses.replace(self.sde, n=oil_iterations)
-        sampler = dataclasses.replace(self.sampler, sde=sde)
-        oil_kw = {"iterations": oil_iterations}
+        if oil_iterations is None:
+            sde, sampler = self.sde, self.sampler
+            oil_kw = {}
+        else:
+            sde = dataclasses.replace(self.sde, n=oil_iterations)
+            sampler = dataclasses.replace(self.sampler, sde=sde)
+            oil_kw = {"iterations": oil_iterations}
         if score_reuse is not None:
             oil_kw["score_reuse"] = score_reuse
         zcfg = dataclasses.replace(
@@ -185,7 +191,8 @@ class ZeDOEstimator:
             ipo=(self.zcfg.ipo if ipo_iterations is None else
                  dataclasses.replace(self.zcfg.ipo,
                                      iterations=ipo_iterations)),
-            oil=dataclasses.replace(self.zcfg.oil, **oil_kw),
+            oil=(dataclasses.replace(self.zcfg.oil, **oil_kw)
+                 if oil_kw else self.zcfg.oil),
         )
         return dataclasses.replace(self, sde=sde, sampler=sampler, zcfg=zcfg)
 
@@ -214,11 +221,23 @@ class ZeDOEstimator:
              "conf": None if confidence is None else np.asarray(confidence, np.float32)},
             self.batch_bucket,
         )
-        kp_dev, k_dev = jnp.asarray(padded["kp"]), jnp.asarray(padded["k"])
+        if self.mesh is not None:
+            # place batch buffers on the mesh sharding HERE, once:
+            # solve_sharded's own device_put then sees the target sharding
+            # and no-ops, and the rank-and-pack jit reuses the same shards —
+            # one host->device transfer per buffer instead of two (each
+            # costs ~30-40 ms over the remote relay)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            put = lambda a: jax.device_put(a, batch_sh)
+        else:
+            put = jnp.asarray
+        kp_dev, k_dev = put(padded["kp"]), put(padded["k"])
         common = (
             self.params, self.model_cfg, self.sde, self.sampler, self.zcfg,
             jnp.asarray(self.clusters), kp_dev,
-            None if padded["conf"] is None else jnp.asarray(padded["conf"]),
+            None if padded["conf"] is None else put(padded["conf"]),
             k_dev,
         )
         kwargs = dict(rng=jax.random.PRNGKey(self.seed), precision=self.precision)

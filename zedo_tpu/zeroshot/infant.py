@@ -109,6 +109,7 @@ def solve_one_hypothesis_infant(
     refine_t_from: int = 950,
     rng: Optional[jax.Array] = None,
     precision=None,
+    reproj_weight: Optional[jax.Array] = None,
 ) -> OILResult:
     n = cond2d.shape[0]
     pose0 = jnp.broadcast_to(cluster_pose[None], (n,) + cluster_pose.shape)
@@ -128,7 +129,7 @@ def solve_one_hypothesis_infant(
     return run_oil(
         params, model_cfg, sde, sampler, x0, ipo.translation,
         cond2d, k, None, oil_cfg, rng=rng, precision=precision,
-        model_apply=model_apply,
+        model_apply=model_apply, reproj_weight=reproj_weight,
     )
 
 
@@ -136,6 +137,7 @@ def solve_infant(
     params, model_apply, model_cfg, sde, sampler, cfg,
     cluster_poses, cond2d, k,
     pelvis_mode="joint0", refine_t_from=950, rng=None, precision=None,
+    reproj_weight=None,
 ) -> SolveResult:
     """All hypotheses; returns [N, S, j, 3]."""
     if rng is None:
@@ -147,7 +149,7 @@ def solve_infant(
             params, model_apply, model_cfg, sde, sampler, cfg,
             cluster_pose, cond2d, k,
             pelvis_mode=pelvis_mode, refine_t_from=refine_t_from,
-            rng=hyp_rng, precision=precision,
+            rng=hyp_rng, precision=precision, reproj_weight=reproj_weight,
         )
 
     result = jax.vmap(one)(cluster_poses, rngs)
@@ -162,7 +164,7 @@ def solve_infant_sharded(
     mesh, params, model_apply, model_cfg, sde, sampler, cfg,
     cluster_poses, cond2d, k,
     pelvis_mode="joint0", refine_t_from=950, rng=None, precision=None,
-    condition=None, data_axis: str = "data",
+    condition=None, data_axis: str = "data", row_mask=None,
 ) -> SolveResult:
     """Multi-chip infant solve (mirror of pipeline.solve_sharded, which see).
 
@@ -172,11 +174,14 @@ def solve_infant_sharded(
     full-batch closure (the single-program CLI pattern) would shape-mismatch
     against the local shard. With OILConfig.track_reproj the [S, steps] trace
     is cross-shard-averaged by one pmean (equal shards — pad N first with
-    data.sharding.pad_batch; note edge-replicated pad rows participate in the
-    diagnostic mean). Traced per call — CLIs solve once per run, and
-    model_apply wrappers are per-run objects no lru_cache key could hold.
+    data.sharding.pad_batch and pass its mask as `row_mask` so pad rows are
+    excluded from the diagnostic mean). Traced per call — CLIs solve once per
+    run, and model_apply wrappers are per-run objects no lru_cache key could
+    hold.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from zedo_tpu.zeroshot.pipeline import _pad_aware_reproj_weight
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -188,6 +193,9 @@ def solve_infant_sharded(
     cluster_poses = jax.device_put(cluster_poses, repl)
     if condition is not None:
         condition = jax.device_put(condition, batch)
+    weight = _pad_aware_reproj_weight(mesh, data_axis, cfg, row_mask)
+    if weight is not None:
+        weight = jax.device_put(weight, batch)
 
     bspec, rspec = P(data_axis), P()
 
@@ -198,28 +206,40 @@ def solve_infant_sharded(
             poses=res.poses, translations=res.translations,
             reproj_px=jax.lax.pmean(res.reproj_px, axis_name=data_axis))
 
-    def _run(prm, clusters, c2d, kk, r, apply_fn):
+    def _run(prm, clusters, c2d, kk, w, r, apply_fn):
         return _post(solve_infant(
             prm, apply_fn, model_cfg, sde, sampler, cfg, clusters, c2d, kk,
             pelvis_mode=pelvis_mode, refine_t_from=refine_t_from, rng=r,
-            precision=precision))
+            precision=precision, reproj_weight=w))
+
+    has_w = weight is not None
+    wspec = (bspec,) if has_w else ()
 
     if condition is None:
-        def shard_fn(prm, clusters, c2d, kk, r):
-            return _run(prm, clusters, c2d, kk, r, model_apply)
+        def shard_fn(prm, clusters, c2d, kk, *rest):
+            rest = list(rest)
+            w = rest.pop(0) if has_w else None
+            (r,) = rest
+            return _run(prm, clusters, c2d, kk, w, r, model_apply)
 
-        in_specs = (rspec, rspec, bspec, bspec, rspec)
-        args = (params, cluster_poses, cond2d, k, rng)
+        in_specs = (rspec, rspec, bspec, bspec) + wspec + (rspec,)
+        args = (params, cluster_poses, cond2d, k,
+                *((weight,) if has_w else ()), rng)
     else:
-        def shard_fn(prm, clusters, c2d, kk, cond_local, r):
+        def shard_fn(prm, clusters, c2d, kk, cond_local, *rest):
+            rest = list(rest)
+            w = rest.pop(0) if has_w else None
+            (r,) = rest
+
             def apply_fn(p, cfg_m, x, labels, cond_arg, mask, **kw):
                 eff = cond_local if cond_arg is None else cond_arg
                 return model_apply(p, cfg_m, x, labels, eff, mask, **kw)
 
-            return _run(prm, clusters, c2d, kk, r, apply_fn)
+            return _run(prm, clusters, c2d, kk, w, r, apply_fn)
 
-        in_specs = (rspec, rspec, bspec, bspec, bspec, rspec)
-        args = (params, cluster_poses, cond2d, k, condition, rng)
+        in_specs = (rspec, rspec, bspec, bspec, bspec) + wspec + (rspec,)
+        args = (params, cluster_poses, cond2d, k, condition,
+                *((weight,) if has_w else ()), rng)
 
     out_specs = (
         SolveResult(poses=bspec, translations=bspec, reproj_px=rspec)

@@ -163,6 +163,7 @@ def run_oil(
     rng: Optional[jax.Array] = None,
     precision=None,
     model_apply=None,
+    reproj_weight: Optional[jax.Array] = None,
 ) -> OILResult:
     """The full OIL loop as one scan.
 
@@ -171,6 +172,9 @@ def run_oil(
     rng is only needed for the generic (noise-injecting) path.
     model_apply: score_mlp.apply-compatible fn for custom networks (ControlNet
     adapter, conditional model); those always take the generic path.
+    reproj_weight: optional [B] per-row weights for the track_reproj trace
+    (must sum to 1 for a mean; None = uniform). The sharded solves use it to
+    zero edge-replicated pad rows out of the diagnostic.
     """
     if not isinstance(sampler, PCSampler):
         # config.sampling.method='ode' reaches here through the CLIs'
@@ -194,7 +198,13 @@ def run_oil(
             cam = x + t_cur
             proj = jnp.einsum("bij,bnj->bni", k, cam, precision=_EXACT)
             px = proj[..., :2] / proj[..., 2:]
-            return jnp.mean(jnp.abs(px - cond2d[..., :2]))
+            err = jnp.abs(px - cond2d[..., :2])
+            if reproj_weight is None:
+                return jnp.mean(err)
+            # weighted row mean (weights sum to 1 across the TRUE batch —
+            # the sharded solves zero pad rows and fold the cross-shard
+            # pmean's 1/D into the weights)
+            return jnp.sum(reproj_weight * jnp.mean(err, axis=(1, 2)))
     else:
         def reproj_fn(x, t_cur):
             return jnp.float32(0.0)

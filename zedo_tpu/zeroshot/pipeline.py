@@ -86,6 +86,7 @@ def solve_one_hypothesis(
     rng: Optional[jax.Array] = None,
     precision=None,
     model_apply=None,
+    reproj_weight: Optional[jax.Array] = None,
 ) -> OILResult:
     """One hypothesis over the full batch (the body of opt_main.py:166-220).
 
@@ -105,6 +106,7 @@ def solve_one_hypothesis(
         params, model_cfg, sde, sampler,
         x0, ipo.translation, cond2d, k, conf, cfg.oil,
         rng=rng, precision=precision, model_apply=model_apply,
+        reproj_weight=reproj_weight,
     )
 
 
@@ -121,6 +123,7 @@ def solve(
     rng: Optional[jax.Array] = None,
     precision=None,
     model_apply=None,
+    reproj_weight: Optional[jax.Array] = None,
 ) -> SolveResult:
     """All S hypotheses via vmap; returns [N, S, j, 3] (opt_main.py:222-224)."""
     if rng is None:
@@ -131,7 +134,7 @@ def solve(
         return solve_one_hypothesis(
             params, model_cfg, sde, sampler, cfg,
             cluster_pose, cond2d, conf, k, rng=hyp_rng, precision=precision,
-            model_apply=model_apply,
+            model_apply=model_apply, reproj_weight=reproj_weight,
         )
 
     result = jax.vmap(one)(cluster_poses, rngs)  # [S, N, ...]
@@ -173,6 +176,7 @@ def solve_sharded(
     precision=None,
     data_axis: str = "data",
     model_apply=None,
+    row_mask=None,
 ) -> SolveResult:
     """Multi-chip solve: shard the pose batch N over `data_axis` of `mesh`
     via `shard_map`, replicate weights and cluster poses. The poses need no
@@ -185,7 +189,10 @@ def solve_sharded(
 
     N must be divisible by the mesh data-axis size — use
     data.sharding.pad_batch (the DistributedEvalSampler replacement,
-    SURVEY §2.6).
+    SURVEY §2.6). Pass pad_batch's mask as `row_mask` so the track_reproj
+    trace averages over the TRUE batch only — without it, edge-replicated
+    pad rows participate in the diagnostic mean (poses are unaffected
+    either way; pads are dropped by sharding.unpad).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -201,18 +208,40 @@ def solve_sharded(
     params = jax.device_put(params, repl)
     cluster_poses = jax.device_put(cluster_poses, repl)
 
+    weight = _pad_aware_reproj_weight(mesh, data_axis, cfg, row_mask)
+    if weight is not None:
+        weight = jax.device_put(weight, batch_sharded)
+
     fn = _sharded_solve_fn(
-        mesh, data_axis, conf is not None, model_cfg, sde, sampler, cfg,
-        precision, model_apply,
+        mesh, data_axis, conf is not None, weight is not None, model_cfg,
+        sde, sampler, cfg, precision, model_apply,
     )
-    if conf is None:
-        return fn(params, cluster_poses, cond2d, k, rng)
-    return fn(params, cluster_poses, cond2d, conf, k, rng)
+    args = [params, cluster_poses, cond2d]
+    if conf is not None:
+        args.append(conf)
+    args.append(k)
+    if weight is not None:
+        args.append(weight)
+    return fn(*args, rng)
+
+
+def _pad_aware_reproj_weight(mesh, data_axis, cfg, row_mask):
+    """[N] per-row reproj-trace weights from pad_batch's real-row mask, or
+    None for uniform. Weights are mask * D / n_real so that after the
+    per-shard weighted SUM and the cross-shard pmean (which divides by the
+    data-axis size D), the trace equals the mean over real rows only."""
+    if not cfg.oil.track_reproj or row_mask is None:
+        return None
+    m = np.asarray(row_mask, np.float32)
+    n_real = float(m.sum())
+    if n_real == 0:
+        raise ValueError("row_mask marks no real rows")
+    return jnp.asarray(m * (mesh.shape[data_axis] / n_real))
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_solve_fn(mesh, data_axis, has_conf, model_cfg, sde, sampler, cfg,
-                      precision, model_apply=None):
+def _sharded_solve_fn(mesh, data_axis, has_conf, has_weight, model_cfg, sde,
+                      sampler, cfg, precision, model_apply=None):
     from jax.sharding import PartitionSpec as P
 
     b = P(data_axis)
@@ -230,20 +259,19 @@ def _sharded_solve_fn(mesh, data_axis, has_conf, model_cfg, sde, sampler, cfg,
             reproj_px=jax.lax.pmean(res.reproj_px, axis_name=data_axis),
         )
 
-    if has_conf:
-        def shard_fn(params, clusters, cond2d, conf, k, rng):
-            return _post(solve(params, model_cfg, sde, sampler, cfg,
-                               clusters, cond2d, conf, k, rng=rng,
-                               precision=precision, model_apply=model_apply))
+    def shard_fn(params, clusters, cond2d, *rest):
+        rest = list(rest)
+        conf = rest.pop(0) if has_conf else None
+        k = rest.pop(0)
+        weight = rest.pop(0) if has_weight else None
+        (rng,) = rest
+        return _post(solve(params, model_cfg, sde, sampler, cfg,
+                           clusters, cond2d, conf, k, rng=rng,
+                           precision=precision, model_apply=model_apply,
+                           reproj_weight=weight))
 
-        in_specs = (r, r, b, b, b, r)
-    else:
-        def shard_fn(params, clusters, cond2d, k, rng):
-            return _post(solve(params, model_cfg, sde, sampler, cfg,
-                               clusters, cond2d, None, k, rng=rng,
-                               precision=precision, model_apply=model_apply))
-
-        in_specs = (r, r, b, b, r)
+    in_specs = ((r, r, b) + ((b,) if has_conf else ())
+                + (b,) + ((b,) if has_weight else ()) + (r,))
 
     if cfg.oil.track_reproj:
         # post-pmean the trace is replicated across the data axis
