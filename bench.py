@@ -253,5 +253,66 @@ def main():
     print(json.dumps(result))
 
 
+def _watchdog() -> int:
+    """Re-exec the bench as a supervised child, retrying on a hang.
+
+    The axon relay occasionally wedges during backend init (observed: the
+    xla_bridge banner prints, then the device probe never returns — while an
+    immediate retry in a fresh process succeeds). A hung run produces NO
+    output, so retrying is always safe for the one-JSON-line contract: the
+    child inherits stdout and only a successful run prints the line.
+    ZEDO_BENCH_WATCHDOG=off disables (direct main() call, old behavior);
+    per-attempt timeout / attempt count via ZEDO_BENCH_TIMEOUT_S /
+    ZEDO_BENCH_ATTEMPTS.
+    """
+    import os
+    import signal
+    import subprocess
+
+    timeout_s = int(os.environ.get("ZEDO_BENCH_TIMEOUT_S", "900"))
+    attempts = int(os.environ.get("ZEDO_BENCH_ATTEMPTS", "3"))
+    env = dict(os.environ, _ZEDO_BENCH_CHILD="1")
+    child = None
+
+    def _forward(signum, _frame):
+        # a supervising timeout killing THIS process must never orphan the
+        # child — a leftover jax process wedges the single-tenant TPU relay
+        # for every later run
+        if child is not None and child.poll() is None:
+            child.kill()
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _forward)
+    signal.signal(signal.SIGINT, _forward)
+
+    rc = 1
+    for i in range(attempts):
+        child = subprocess.Popen(
+            [sys.executable, "-u", os.path.abspath(__file__), *sys.argv[1:]],
+            env=env,
+        )
+        try:
+            rc = child.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.wait()
+            print(f"bench attempt {i + 1}/{attempts} hung >{timeout_s}s "
+                  f"(relay wedged at init?); retrying in a fresh process",
+                  file=sys.stderr)
+            rc = 124
+            continue
+        if rc == 0:
+            return 0
+        print(f"bench attempt {i + 1}/{attempts} exited rc={rc}",
+              file=sys.stderr)
+    return rc
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if (os.environ.get("ZEDO_BENCH_WATCHDOG", "").lower() == "off"
+            or os.environ.get("_ZEDO_BENCH_CHILD")):
+        main()
+    else:
+        sys.exit(_watchdog())
