@@ -49,17 +49,36 @@ def main():
                  ("tools/bench_serving.py",
                   ["--oil", "200", "--ipo", "100", "--bucket", "32",
                    "--reps", "1"])]
+    # per-run deadline: a wedged relay must fail the regeneration loudly
+    # (keeping the existing artifacts) instead of hanging it forever.
+    # bench.py additionally self-supervises its own init (its watchdog);
+    # this bounds the non-bench runs (bench_serving) and compile storms.
+    run_timeout_s = int(os.environ.get("ZEDO_WARM_TIMEOUT_S", "2400"))
     for script, extra in runs:
         print(f"running {script} {' '.join(extra) or '(flagship)'} "
               f"against scratch cache {scratch} ...")
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.join(REPO, script), *extra],
             env=env, cwd=REPO,
         )
-        if proc.returncode != 0:
+        try:
+            rc = proc.wait(timeout=run_timeout_s)
+        except subprocess.TimeoutExpired:
+            # SIGTERM first: bench.py's watchdog forwards it to its child,
+            # so no jax process is orphaned against the single-tenant relay
+            # (SIGKILL would bypass that handler)
+            proc.terminate()
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
             raise SystemExit(
-                f"{script} {extra} failed rc={proc.returncode}; "
-                f"cache not updated")
+                f"{script} {extra} exceeded {run_timeout_s}s "
+                f"(ZEDO_WARM_TIMEOUT_S; relay wedged?); cache not updated")
+        if rc != 0:
+            raise SystemExit(
+                f"{script} {extra} failed rc={rc}; cache not updated")
 
     captured = sorted(os.listdir(scratch))
     if not any(n.startswith("jit_shard_fn") for n in captured):
