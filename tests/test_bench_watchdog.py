@@ -38,6 +38,26 @@ def test_watchdog_retries_then_reports_timeout():
     assert proc.stdout.strip() == "", proc.stdout
 
 
+def test_warm_cache_timeout_aborts_without_touching_artifacts():
+    """tools/warm_cache.py must fail loudly on a wedged run (per-run
+    ZEDO_WARM_TIMEOUT_S deadline), leave artifacts/xla_cache untouched, and
+    leave no orphaned bench process behind."""
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+    artifacts = os.path.join(repo, "artifacts", "xla_cache")
+    before = sorted(os.listdir(artifacts)) if os.path.isdir(artifacts) else None
+
+    env = dict(CPU_ENV, ZEDO_WARM_TIMEOUT_S="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "warm_cache.py"),
+         "--flagship-only"],
+        env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode != 0
+    assert "exceeded 1s" in proc.stderr and "cache not updated" in proc.stderr
+    after = sorted(os.listdir(artifacts)) if os.path.isdir(artifacts) else None
+    assert after == before, "a timed-out regeneration touched the artifacts"
+
+
 def test_watchdog_sigterm_does_not_orphan_child():
     env = dict(CPU_ENV, ZEDO_BENCH_TIMEOUT_S="600", ZEDO_BENCH_ATTEMPTS="1")
     parent = subprocess.Popen(
