@@ -15,6 +15,8 @@ Usage:  python tools/warm_cache.py [--flagship-only]
   silently discard the committed secondary-shape executables and fresh
   hosts would pay the 5-60s relay compile for them.
   --flagship-only opts into the faster single-program capture.
+  Each run is bounded by ZEDO_WARM_TIMEOUT_S (default 2400 s); a wedged
+  relay aborts the regeneration loudly with the existing artifacts intact.
 """
 from __future__ import annotations
 
